@@ -1,0 +1,188 @@
+"""Model state contract: restart variables ↔ analysis variables ↔ history view.
+
+Reference semantics reproduced (with citations):
+- restart/prognostic set: ρ, ρu, ρv, ρw, ρθ + 6 moisture tracers
+  (common_scale.f90:36-51, v3d_name DENS/MOMX/MOMY/MOMZ/RHOT/QV..QG)
+- analysis set: u, v, w, T, p, qv, qc, qr, qi, qs, qg (nv3d = 11)
+- `state_trans` (common_scale.f90:1181-1226): moist Exner diagnosis of (T, p)
+  from (ρθ, ρ, q) with moisture-dependent R_tot, CV_tot
+- `state_trans_inv` (common_scale.f90:1229-1289): inverse incl.
+  positive-definite clipping of q / hydrometeors
+- `state_to_history` (common_scale.f90:1292-1404): analysis vars + rh + height
+  → obs-operator field view with surface diagnostics
+
+TPU-native design: the state is a flax-free pytree dataclass of stacked
+arrays with layout (..., nz, ny, nx) — variables stacked on a leading axis so
+member/variable batching vmaps cleanly and XLA fuses the pointwise
+thermodynamics into one kernel. No halos are stored; the obs-operator view is
+a plain dict of global arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scale_letkf_tpu.constants import (
+    RD, RV, CVDRY, PRE00, TRACER_CV, PSAT0, TETENS_A_LIQ, TETENS_B_LIQ, T00,
+)
+
+# Variable index conventions (match reference ordering, common_scale.f90:36-51)
+# Restart (prognostic) stacking order:
+IR_RHO, IR_RHOU, IR_RHOV, IR_RHOW, IR_RHOT = 0, 1, 2, 3, 4
+IR_Q0 = 5  # first moisture tracer (qv); 6 tracers total
+# Analysis (LETKF) stacking order:
+IA_U, IA_V, IA_W, IA_T, IA_P = 0, 1, 2, 3, 4
+IA_Q0 = 5
+NV3D = 11
+NQ = 6
+V3D_RESTART_NAMES = ("DENS", "MOMX", "MOMY", "MOMZ", "RHOT",
+                     "QV", "QC", "QR", "QI", "QS", "QG")
+V3D_ANAL_NAMES = ("U", "V", "W", "T", "PRES",
+                  "QV", "QC", "QR", "QI", "QS", "QG")
+# 2-D analysis variables: none by default, as in the reference (nv2d=0 for SCALE)
+NV2D = 0
+
+
+class ModelState(NamedTuple):
+    """Prognostic state of the dynamical core (restart view).
+
+    vars: (..., NV3D, nz, ny, nx) stacked [ρ, ρu, ρv, ρw, ρθ, q×6].
+    Leading axes are batch axes (e.g. ensemble member).
+    """
+    vars: jax.Array
+
+    @property
+    def rho(self): return self.vars[..., IR_RHO, :, :, :]
+    @property
+    def rhou(self): return self.vars[..., IR_RHOU, :, :, :]
+    @property
+    def rhov(self): return self.vars[..., IR_RHOV, :, :, :]
+    @property
+    def rhow(self): return self.vars[..., IR_RHOW, :, :, :]
+    @property
+    def rhot(self): return self.vars[..., IR_RHOT, :, :, :]
+    @property
+    def q(self): return self.vars[..., IR_Q0:IR_Q0 + NQ, :, :, :]
+
+
+def _moist_rtot_cvtot(q, dtype):
+    """R_tot, CV_tot from the 6-tracer moisture set (state_trans inner loop).
+
+    q: (..., NQ, nz, ny, nx) with q[...,0] = qv.
+    """
+    tracer_cv = jnp.asarray(TRACER_CV, dtype)
+    qdry = 1.0 - jnp.sum(q, axis=-4)
+    cvtot = CVDRY * qdry + jnp.einsum("...qkji,q->...kji", q, tracer_cv,
+                                      preferred_element_type=dtype)
+    rtot = RD * qdry + RV * q[..., 0, :, :, :]
+    return rtot, cvtot
+
+
+def state_trans(restart: jax.Array) -> jax.Array:
+    """Restart → analysis variables (reference: common_scale.f90:1181-1226).
+
+    restart: (..., NV3D, nz, ny, nx) stacked [ρ, ρu, ρv, ρw, ρθ, q×6]
+    returns: same shape stacked [u, v, w, T, p, q×6]
+
+    p = PRE00 (ρθ R_tot / PRE00)^(Cp/Cv);  T = p / (ρ R_tot);
+    u = ρu/ρ etc. — like the reference, staggering is ignored here (the
+    dycore keeps its own staggered fields; this is the collocated DA view).
+    """
+    dtype = restart.dtype
+    q = restart[..., IR_Q0:, :, :, :]
+    rtot, cvtot = _moist_rtot_cvtot(q, dtype)
+    cpovcv = (cvtot + rtot) / cvtot
+
+    rho = restart[..., IR_RHO, :, :, :]
+    pres = PRE00 * (restart[..., IR_RHOT, :, :, :] * rtot / PRE00) ** cpovcv
+    temp = pres / (rho * rtot)
+
+    out = jnp.stack([
+        restart[..., IR_RHOU, :, :, :] / rho,
+        restart[..., IR_RHOV, :, :, :] / rho,
+        restart[..., IR_RHOW, :, :, :] / rho,
+        temp,
+        pres,
+    ], axis=-4)
+    return jnp.concatenate([out, q], axis=-4)
+
+
+def state_trans_inv(anal: jax.Array, *, positive_definite_q: bool = False,
+                    positive_definite_qhyd: bool = False) -> jax.Array:
+    """Analysis → restart variables (reference: common_scale.f90:1229-1289).
+
+    ρ = p/(R_tot T);  ρθ = PRE00/R_tot (p/PRE00)^(Cv/Cp);  ρu = u·ρ etc.
+    Optional positive-definite clipping of qv / hydrometeors before the
+    transform, as POSITIVE_DEFINITE_Q/QHYD.
+    """
+    dtype = anal.dtype
+    q = anal[..., IA_Q0:, :, :, :]
+    if positive_definite_q:
+        q = q.at[..., 0, :, :, :].set(jnp.maximum(q[..., 0, :, :, :], 0.0))
+    if positive_definite_qhyd:
+        q = q.at[..., 1:, :, :, :].set(jnp.maximum(q[..., 1:, :, :, :], 0.0))
+    rtot, cvtot = _moist_rtot_cvtot(q, dtype)
+    cvovcp = cvtot / (cvtot + rtot)
+
+    pres = anal[..., IA_P, :, :, :]
+    temp = anal[..., IA_T, :, :, :]
+    rho = pres / (rtot * temp)
+    rhot = PRE00 / rtot * (pres / PRE00) ** cvovcp
+
+    out = jnp.stack([
+        rho,
+        anal[..., IA_U, :, :, :] * rho,
+        anal[..., IA_V, :, :, :] * rho,
+        anal[..., IA_W, :, :, :] * rho,
+        rhot,
+    ], axis=-4)
+    return jnp.concatenate([out, q], axis=-4)
+
+
+def relative_humidity(temp: jax.Array, pres: jax.Array, qv: jax.Array) -> jax.Array:
+    """RH [%] over liquid water (Tetens). The reference leaves the history RH
+    field unfilled (common_scale.f90:1330 is commented out); we provide it so
+    RH observations are assimilable end-to-end."""
+    es = PSAT0 * jnp.exp(TETENS_A_LIQ * (temp - T00) / (temp - TETENS_B_LIQ))
+    qs = 0.622 * es / jnp.maximum(pres - 0.378 * es, 1.0)
+    return 100.0 * qv / qs
+
+
+def state_to_history(anal: jax.Array, z_full: jax.Array) -> dict[str, jax.Array]:
+    """Analysis variables → obs-operator field view
+    (reference: common_scale.f90:1292-1404).
+
+    anal:   (..., NV3D, nz, ny, nx) analysis-variable stack
+    z_full: (nz, ny, nx) terrain-following heights from Grid.calc_z
+    Returns a dict of named fields; 3-D: u,v,w,t,p,q,qc,qr,qi,qs,qg,rh,hgt;
+    2-D surface diagnostics use the first model level like the reference
+    (ps, u10m, v10m, t2m, q2m) plus topo = first-level height.
+    """
+    names3d = ("u", "v", "w", "t", "p", "q", "qc", "qr", "qi", "qs", "qg")
+    f = {n: anal[..., i, :, :, :] for i, n in enumerate(names3d)}
+    f["rh"] = relative_humidity(f["t"], f["p"], f["q"])
+    f["hgt"] = jnp.broadcast_to(z_full, anal.shape[:-4] + z_full.shape)
+    f["topo"] = f["hgt"][..., 0, :, :]
+    f["ps"] = f["p"][..., 0, :, :]
+    f["u10m"] = f["u"][..., 0, :, :]
+    f["v10m"] = f["v"][..., 0, :, :]
+    f["t2m"] = f["t"][..., 0, :, :]
+    f["q2m"] = f["q"][..., 0, :, :]
+    return f
+
+
+def ensemble_mean(stack: jax.Array, axis: int = 0) -> jax.Array:
+    """Ensemble mean over the member axis (ensmean_grd analogue,
+    common_scale.f90:1498-1540)."""
+    return jnp.mean(stack, axis=axis)
+
+
+def ensemble_spread(stack: jax.Array, axis: int = 0) -> jax.Array:
+    """Ensemble spread (stdev with 1/(K-1)) (enssprd_grd analogue)."""
+    k = stack.shape[axis]
+    mean = jnp.mean(stack, axis=axis, keepdims=True)
+    var = jnp.sum((stack - mean) ** 2, axis=axis) / (k - 1)
+    return jnp.sqrt(var)
