@@ -1,0 +1,179 @@
+"""The DA cycle driver: forecast → H(x) → LETKF analysis, cycling.
+
+Python/JAX equivalent of the reference's bash workflow layer (reference:
+scale/run/cycle.sh:141-345 — the per-cycle step sequence scale_pp →
+scale_init → scale-rm_ens → obsope → letkf; the step table is
+scale/run/src/func_cycle.sh:14-28). Single-controller JAX eliminates the
+staging/machinefile machinery: the "steps" are jitted functions over
+sharded arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scale_letkf_tpu.config import Config
+from scale_letkf_tpu.grid import Grid
+from scale_letkf_tpu.state import (
+    state_trans, state_trans_inv, state_to_history, ensemble_mean,
+    ensemble_spread,
+)
+from scale_letkf_tpu.model.dycore import (
+    DycoreConfig, DycoreState, integrate, to_collocated, from_collocated,
+)
+from scale_letkf_tpu.model.physics import kessler_step
+from scale_letkf_tpu.da.obsope import obsope_ensemble, compute_hx_single
+from scale_letkf_tpu.da.letkf_obs import build_obs_context
+from scale_letkf_tpu.da.letkf import analyze
+from scale_letkf_tpu.da.monitor import monit_dep, DepartureStats, ObsDepRecord
+from scale_letkf_tpu.da.obsmake import obsmake
+from scale_letkf_tpu.obs.types import Observations, QC_GOOD
+from scale_letkf_tpu.utils.timing import Timer
+
+
+@dataclass
+class CycleResult:
+    stats_gues: list[DepartureStats] = field(default_factory=list)
+    stats_anal: list[DepartureStats] = field(default_factory=list)
+    rmse_gues: list[float] = field(default_factory=list)   # vs truth (OSSE)
+    rmse_anal: list[float] = field(default_factory=list)
+    spread: list[float] = field(default_factory=list)
+    infl_field: np.ndarray | None = None
+
+
+class CycleDriver:
+    """Cycling DA over an idealized domain (periodic lateral boundaries)."""
+
+    def __init__(self, grid: Grid, cfg: Config, dycfg: DycoreConfig,
+                 rho_ref, p_ref, use_physics: bool = False):
+        self.grid = grid
+        self.cfg = cfg
+        self.dycfg = dycfg
+        self.rho_ref = rho_ref
+        self.p_ref = p_ref
+        self.use_physics = use_physics
+        self.timer = Timer()
+        topo = jnp.zeros((grid.ny, grid.nx))
+        self.z_full = grid.calc_z(topo)
+        self.z_centers = jnp.asarray(grid.cz, jnp.float32)
+
+        def fcst_one(s: DycoreState, nsteps: int) -> DycoreState:
+            s = integrate(s, dycfg, rho_ref, p_ref, self.z_centers, nsteps)
+            if use_physics:
+                s = kessler_step(s, dycfg.dt * nsteps, dycfg.dz)
+            return s
+
+        self._fcst_one = fcst_one
+        self._fcst_ens = jax.jit(jax.vmap(fcst_one, in_axes=(0, None)),
+                                 static_argnums=1)
+
+    # -- forecast step (scale-rm_ens equivalent) --
+    def forecast(self, ens: DycoreState, nsteps: int) -> DycoreState:
+        with self.timer.section("forecast"):
+            out = self._fcst_ens(ens, nsteps)
+            jax.block_until_ready(out.rho)
+        return out
+
+    def forecast_one(self, s: DycoreState, nsteps: int) -> DycoreState:
+        return jax.jit(self._fcst_one, static_argnums=1)(s, nsteps)
+
+    # -- analysis step (obsope + letkf equivalents) --
+    def analysis(self, ens: DycoreState, obs: Observations,
+                 infl_field=None):
+        """Returns (analysis DycoreState ensemble, diagnostics dict)."""
+        cfg = self.cfg
+        with self.timer.section("state_trans"):
+            restart = jax.vmap(to_collocated)(ens)       # (K, NV3D, nz, ny, nx)
+            gues = state_trans(restart)
+
+        with self.timer.section("obsope"):
+            fields = jax.vmap(lambda g: state_to_history(g, self.z_full))(gues)
+            hx = obsope_ensemble(fields, obs, self.grid, cfg, self.z_full)
+
+        with self.timer.section("process_obs"):
+            ctx = build_obs_context(obs, hx.ensval, hx.qc, cfg, self.grid)
+            stats_gues = monit_dep(ctx.elem, ctx.dep, ctx.qc)
+
+        with self.timer.section("das_letkf"):
+            anal, _, diag = analyze(gues, ctx, cfg, self.grid, self.z_full,
+                                    infl_field=infl_field)
+            jax.block_until_ready(anal)
+
+        with self.timer.section("state_trans_inv"):
+            anal_restart = state_trans_inv(
+                anal,
+                positive_definite_q=cfg.letkf.positive_definite_q,
+                positive_definite_qhyd=cfg.letkf.positive_definite_qhyd)
+            ens_out = jax.vmap(from_collocated)(anal_restart)
+
+        # O−A statistics from the analysis mean
+        with self.timer.section("monitor"):
+            anal_mean_fields = state_to_history(ensemble_mean(anal), self.z_full)
+            y_a, qc_a = compute_hx_single(anal_mean_fields, obs, self.grid,
+                                          cfg, self.z_full)
+            oma = obs.dat - np.asarray(y_a)
+            stats_anal = monit_dep(ctx.elem, oma, ctx.qc)
+            obsdep = ObsDepRecord(
+                elem=ctx.elem, typ=ctx.typ, lon=obs.lon, lat=obs.lat,
+                lev=obs.lev, dat=obs.dat, err=obs.err, qc=ctx.qc,
+                omb=ctx.dep, oma=oma)
+
+        return ens_out, {
+            "gues": gues, "anal": anal, "stats_gues": stats_gues,
+            "stats_anal": stats_anal, "diag": diag, "obsdep": obsdep,
+        }
+
+    # -- full OSSE twin experiment --
+    def run_osse(
+        self,
+        truth0: DycoreState,
+        ens0: DycoreState,
+        obs_template: Observations,
+        n_cycles: int,
+        steps_per_cycle: int,
+        seed: int = 0,
+        verbose: bool = False,
+    ) -> tuple[DycoreState, DycoreState, CycleResult]:
+        """Perfect-model twin experiment: nature run generates obs each cycle
+        (obsmake equivalent), the ensemble assimilates them."""
+        rng = np.random.default_rng(seed)
+        res = CycleResult()
+        truth = truth0
+        ens = ens0
+        infl = None
+        for c in range(n_cycles):
+            truth = self.forecast_one(truth, steps_per_cycle)
+            ens = self.forecast(ens, steps_per_cycle)
+
+            truth_anal = state_trans(to_collocated(truth))
+            nature_fields = state_to_history(truth_anal, self.z_full)
+            obs = obsmake(nature_fields, obs_template, self.grid, self.cfg,
+                          self.z_full, rng)
+
+            # gues error vs truth (u,v,w,T over the domain)
+            gues_stack = state_trans(jax.vmap(to_collocated)(ens))
+            gm = ensemble_mean(gues_stack)
+            rmse_g = float(jnp.sqrt(jnp.mean(
+                (gm[:4] - truth_anal[:4]) ** 2)))
+            res.rmse_gues.append(rmse_g)
+            res.spread.append(float(jnp.mean(
+                ensemble_spread(gues_stack)[3])))
+
+            ens, info = self.analysis(ens, obs, infl_field=infl)
+            if info["diag"].infl_field is not None:
+                infl = info["diag"].infl_field
+            anal_mean = ensemble_mean(info["anal"])
+            rmse_a = float(jnp.sqrt(jnp.mean(
+                (anal_mean[:4] - truth_anal[:4]) ** 2)))
+            res.rmse_anal.append(rmse_a)
+            res.stats_gues.append(info["stats_gues"])
+            res.stats_anal.append(info["stats_anal"])
+            if verbose:
+                print(f"cycle {c}: rmse gues={rmse_g:.4f} anal={rmse_a:.4f} "
+                      f"spread={res.spread[-1]:.4f}")
+        res.infl_field = infl
+        return truth, ens, res

@@ -1,0 +1,213 @@
+"""Observation preprocessing for the LETKF analysis: QC, departures, and the
+per-combined-type selection context.
+
+Equivalent of `set_letkf_obs` (reference: scale/letkf/letkf_obs.f90:78-1184):
+radar dBZ conversion and no-rain relabeling to the ref-zero type
+(:275-298), the (elm, typ) combined-type registry with per-ctype
+localization scales (:308-342), ensemble-mean departures and Hdx (:474-493),
+gross-error and radar min-member QC (:384-561), and the bucket sort of obs
+into per-ctype sorting meshes (:660-855).
+
+Host-side numpy throughout (obs counts are data-dependent); the output
+ObsContext carries dense device arrays consumed by the jitted analysis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from scale_letkf_tpu.config import Config
+from scale_letkf_tpu.grid import Grid
+from scale_letkf_tpu.obs.types import (
+    Observations, ID_RADAR_REF, ID_RADAR_REF_ZERO, ID_RADAR_VR, ID_RAIN,
+    ID_PS, QC_GOOD, QC_GROSS_ERR, QC_OTYPE, QC_OBS_BAD, QC_REF_MEM,
+    uid_obs, uid_obs_varlocal, TYP_PHARAD, NOBTYPE,
+)
+from scale_letkf_tpu.ops.localization import DIST_ZERO_FAC
+from scale_letkf_tpu.ops.obs_select import BucketGrid, build_buckets
+
+UNDEF = -9.99e33
+
+
+@dataclass
+class CtypeContext:
+    """Selection context for one (elem, typ) combined obs type."""
+    elem: int
+    typ: int
+    hori_scale: float            # m
+    vert_scale: float            # ln p, or m for radar; 0 = no vert loc
+    vert_kind: str               # 'logp' | 'z' | 'ps_obs' | 'rain_base' | 'none'
+    max_nobs: int                # 0 = unlimited
+    varlocal_group: int          # 0..8
+    buckets: BucketGrid
+    obs_idx: np.ndarray          # global obs indices of this ctype's members
+
+
+@dataclass
+class ObsContext:
+    """Everything the analysis needs about observations, in global arrays."""
+    nobs: int
+    x: np.ndarray                # projection coords [m]
+    y: np.ndarray
+    vert: np.ndarray             # per-obs vertical localization coordinate
+    err: np.ndarray
+    dep: np.ndarray              # y - H(x̄)
+    depd: np.ndarray | None      # deterministic-run departure
+    hdxb: np.ndarray             # (nobs, K) ensemble perturbations of H(x)
+    qc: np.ndarray
+    elem: np.ndarray
+    typ: np.ndarray
+    ctypes: list[CtypeContext] = field(default_factory=list)
+
+
+def preprocess_radar_obs(obs: Observations, cfg: Config) -> Observations:
+    """Radar reflectivity unit conversion and no-rain relabeling
+    (letkf_obs.f90:275-298): linear-Z obs → dBZ; below-threshold obs become
+    the ref-zero type pinned at MIN_RADAR_REF_DBZ + LOW_REF_SHIFT."""
+    obs = obs.select(slice(None))  # copy
+    r = cfg.radar
+    m = obs.elem == ID_RADAR_REF
+    valid = (obs.dat >= 0.0) & (obs.dat < 1.0e10)
+    low = m & valid & (obs.dat < r.min_radar_ref)
+    hi = m & valid & ~ (obs.dat < r.min_radar_ref)
+    obs.elem[low] = ID_RADAR_REF_ZERO
+    obs.dat[low] = r.min_radar_ref_dbz + r.low_ref_shift
+    obs.dat[hi] = 10.0 * np.log10(obs.dat[hi])
+    obs.dat[m & ~valid] = UNDEF
+    z = obs.elem == ID_RADAR_REF_ZERO
+    obs.dat[z & ~m] = r.min_radar_ref_dbz + r.low_ref_shift
+    if r.use_obserr_radar_ref:
+        obs.err[(obs.elem == ID_RADAR_REF) | (obs.elem == ID_RADAR_REF_ZERO)] \
+            = cfg.obs_error.radar_ref
+    if r.use_obserr_radar_vr:
+        obs.err[obs.elem == ID_RADAR_VR] = cfg.obs_error.radar_vr
+    return obs
+
+
+def qc_and_departures(
+    obs: Observations,
+    ensval: np.ndarray,          # (K, nobs) raw ensemble H(x)
+    qc_in: np.ndarray,
+    cfg: Config,
+    ensval_det: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """Ensemble-mean departures, Hdx perturbations, gross-error and
+    radar min-member QC (letkf_obs.f90:384-561).
+
+    Returns (dep, hdxb(nobs,K), qc, depd)."""
+    qc = qc_in.astype(np.int32).copy()
+    r = cfg.radar
+    is_ref = (obs.elem == ID_RADAR_REF) | (obs.elem == ID_RADAR_REF_ZERO)
+    is_vr = obs.elem == ID_RADAR_VR
+
+    if not r.use_radar_ref:
+        qc[is_ref & (qc == QC_GOOD)] = QC_OTYPE
+    if not r.use_radar_vr:
+        qc[is_vr & (qc == QC_GOOD)] = QC_OTYPE
+    qc[is_ref & (obs.dat == UNDEF)] = QC_OBS_BAD
+
+    # radar min-member check: enough members must see an echo
+    if is_ref.any():
+        mem_ref = (ensval > r.radar_ref_thres_dbz + 1e-6).sum(axis=0)
+        obs_rainy = obs.dat > r.radar_ref_thres_dbz + 1e-6
+        need = np.where(obs_rainy, r.min_radar_ref_member_obsref,
+                        r.min_radar_ref_member)
+        qc[is_ref & (qc == QC_GOOD) & (mem_ref < need)] = QC_REF_MEM
+
+    mean = ensval.mean(axis=0)
+    hdxb = (ensval - mean[None, :]).T          # (nobs, K)
+    dep = obs.dat - mean
+    depd = (obs.dat - ensval_det) if ensval_det is not None else None
+
+    # gross error by obs kind (letkf_obs.f90:503-561)
+    thr = np.full(obs.nobs, cfg.letkf.gross_error)
+    thr[obs.elem == ID_RAIN] = cfg.letkf.gross_thresh("rain")
+    thr[is_ref] = cfg.letkf.gross_thresh("radar_ref")
+    thr[is_vr] = cfg.letkf.gross_thresh("radar_vr")
+    qc[(qc == QC_GOOD) & (np.abs(dep) > thr * obs.err)] = QC_GROSS_ERR
+    return dep, hdxb, qc, depd
+
+
+def build_obs_context(
+    obs: Observations,
+    ensval: np.ndarray,          # (K, nobs)
+    qc_in: np.ndarray,
+    cfg: Config,
+    grid: Grid,
+    ensval_det: np.ndarray | None = None,
+) -> ObsContext:
+    """Full set_letkf_obs pipeline → ObsContext with per-ctype buckets."""
+    obs = preprocess_radar_obs(obs, cfg)
+    dep, hdxb, qc, depd = qc_and_departures(obs, ensval, qc_in, cfg,
+                                            ensval_det)
+    good = qc == QC_GOOD
+
+    x, y = grid.proj.lonlat_to_xy(obs.lon, obs.lat)
+    x = np.asarray(x)
+    y = np.asarray(y)
+
+    # per-obs vertical localization coordinate (obs_local_cal,
+    # letkf_tools.f90:1851-1865)
+    is_radar_typ = obs.typ == TYP_PHARAD
+    vert = np.where(obs.lev > 0, np.log(np.maximum(obs.lev, 1e-10)), 0.0)
+    vert[is_radar_typ] = obs.lev[is_radar_typ]                 # z coordinate
+    m_ps = obs.elem == ID_PS
+    vert[m_ps] = np.log(np.maximum(obs.dat[m_ps], 1e-10))      # obs ps value
+    m_rain = obs.elem == ID_RAIN
+    vert[m_rain] = np.log(cfg.letkf_obs.vert_local_rain_base)
+
+    ctx = ObsContext(nobs=obs.nobs, x=x, y=y, vert=vert, err=obs.err,
+                     dep=dep, depd=depd, hdxb=hdxb, qc=qc,
+                     elem=obs.elem, typ=obs.typ)
+
+    # combined types present among good obs, in (typ, elem_uid) order
+    lo = cfg.letkf_obs
+    elem_u = uid_obs(obs.elem)
+    vl_group = uid_obs_varlocal(obs.elem)
+    half_x = grid.nx * grid.dx / 2
+    half_y = grid.ny * grid.dy / 2
+    pairs = sorted({(int(t), int(u)) for t, u in
+                    zip(obs.typ[good], elem_u[good])})
+    from scale_letkf_tpu.obs.types import ELEM_UID
+    for typ, u in pairs:
+        if not lo.use_obs[typ]:
+            continue
+        elem = ELEM_UID[u]
+        sel = good & (obs.typ == typ) & (elem_u == u)
+        idx = np.nonzero(sel)[0]
+        if elem == ID_RADAR_REF_ZERO and lo.hori_local_radar_obsnoref > 0:
+            hs = lo.hori_local_radar_obsnoref
+        elif elem == ID_RADAR_VR and lo.hori_local_radar_vr > 0:
+            hs = lo.hori_local_radar_vr
+        else:
+            hs = lo.hori_local_for(typ)
+        if elem == ID_RADAR_VR and lo.vert_local_radar_vr > 0:
+            vs = lo.vert_local_radar_vr
+        else:
+            vs = lo.vert_local_for(typ)
+        if typ == TYP_PHARAD:
+            vkind = "z"
+        elif elem == ID_PS:
+            vkind = "ps_obs"
+        elif elem == ID_RAIN:
+            vkind = "rain_base"
+        else:
+            vkind = "logp"
+        cutoff = hs * DIST_ZERO_FAC
+        buckets = build_buckets(x[idx], y[idx], -half_x, -half_y,
+                                half_x, half_y, cutoff)
+        # remap bucket entries from ctype-local to global obs indices
+        tbl = buckets.table
+        remapped = np.where(tbl >= 0, idx[np.clip(tbl, 0, None)], -1).astype(np.int32)
+        buckets = BucketGrid(table=remapped, x0=buckets.x0, y0=buckets.y0,
+                             spacing_x=buckets.spacing_x,
+                             spacing_y=buckets.spacing_y,
+                             n_dropped=buckets.n_dropped)
+        ctx.ctypes.append(CtypeContext(
+            elem=elem, typ=typ, hori_scale=hs, vert_scale=vs,
+            vert_kind=vkind, max_nobs=lo.max_nobs_for(typ),
+            varlocal_group=int(vl_group[idx[0]]) if len(idx) else 0,
+            buckets=buckets, obs_idx=idx))
+    return ctx

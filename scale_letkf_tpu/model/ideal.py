@@ -93,11 +93,17 @@ def perturb_ensemble(key: jax.Array, s: DycoreState, n_members: int,
 
     def one(k):
         noise = jax.random.normal(k, (nz, ny, nx), s.rhot.dtype)
-        # horizontal smoothing (3 passes of 1-2-1) for spatial correlation
+        # smoothing (3 passes of 1-2-1) in all directions so the ensemble
+        # carries spatially (incl. vertically) correlated perturbations —
+        # required for localized covariances to carry signal, not noise
         for axis in (-1, -2):
             for _ in range(3):
                 noise = 0.25 * (jnp.roll(noise, 1, axis) + jnp.roll(noise, -1, axis)) \
                     + 0.5 * noise
+        for _ in range(3):
+            up = jnp.concatenate([noise[:1], noise[:-1]], axis=0)
+            dn = jnp.concatenate([noise[1:], noise[-1:]], axis=0)
+            noise = 0.25 * (up + dn) + 0.5 * noise
         # vertical taper: no perturbation at model top
         z_frac = (jnp.arange(nz) + 0.5) / nz
         taper = jnp.where(z_frac > taper_top,
