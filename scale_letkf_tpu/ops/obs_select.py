@@ -55,6 +55,27 @@ def build_buckets(
     to a multiple of 4) so nothing is dropped unless min_capacity forces it."""
     nx = max(1, int(np.ceil((x1 - x0) / spacing)))
     ny = max(1, int(np.ceil((y1 - y0) / spacing)))
+
+    from scale_letkf_tpu.utils import native
+    lib = native.load()
+    if lib is not None and len(x):
+        import ctypes
+        xd = np.ascontiguousarray(x, np.float64)
+        yd = np.ascontiguousarray(y, np.float64)
+        pd = ctypes.POINTER(ctypes.c_double)
+        cap = lib.bucket_max_count(xd.ctypes.data_as(pd),
+                                   yd.ctypes.data_as(pd), len(x),
+                                   x0, y0, spacing, spacing, nx, ny)
+        cap = -(-max(cap, min_capacity) // 4) * 4
+        table = np.empty(ny * nx * cap, np.int32)
+        dropped = lib.bucket_sort(
+            xd.ctypes.data_as(pd), yd.ctypes.data_as(pd), len(x),
+            x0, y0, spacing, spacing, nx, ny, cap,
+            table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return BucketGrid(table=table.reshape(ny, nx, cap), x0=x0, y0=y0,
+                          spacing_x=spacing, spacing_y=spacing,
+                          n_dropped=int(dropped))
+
     ci = np.clip(((x - x0) / spacing).astype(np.int64), 0, nx - 1)
     cj = np.clip(((y - y0) / spacing).astype(np.int64), 0, ny - 1)
     flat = cj * nx + ci
