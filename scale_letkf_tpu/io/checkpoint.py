@@ -1,0 +1,102 @@
+"""Restart checkpointing: the cycle-granularity state persistence layer.
+
+Equivalent of the reference's per-member NetCDF restart machinery
+(reference: common_scale.f90 write_restart :558 / read_restart :317;
+member-file naming via filename_replace_mem, common_nml.f90:328-331,1038 —
+'@@@@' / '<member>' templates, special members 'mean' and 'mdet';
+cycle-resume semantics: every analysis writes full restarts so any cycle
+boundary is a resume point, SURVEY §5 checkpoint/resume).
+
+Storage is a directory of .npz member files plus a JSON manifest — a
+single-controller design (no per-rank files); sharded arrays are gathered
+through jax.device_get. Cycled auxiliary state (adaptive inflation field)
+is stored alongside (INFL_MUL_OUT_BASENAME analogue).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+from pathlib import Path
+
+import numpy as np
+import jax
+
+from scale_letkf_tpu.model.dycore import DycoreState
+
+
+def filename_replace_mem(template: str, member: int | str) -> str:
+    """'@@@@' or '<member>' → zero-padded member number / 'mean' / 'mdet'
+    (common_nml.f90:1038-1080)."""
+    if isinstance(member, str):
+        rep = member
+    else:
+        rep = f"{member + 1:04d}"
+    out = template.replace("<member>", rep)
+    if "@@@@" in out:
+        out = out.replace("@@@@", rep)
+    return out
+
+
+def save_ensemble(
+    dirpath: str | Path,
+    ens: DycoreState,
+    basename: str = "anal.@@@@",
+    aux: dict[str, np.ndarray] | None = None,
+    meta: dict | None = None,
+):
+    """Write one member file per ensemble member + manifest + aux fields."""
+    d = Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
+    host = jax.device_get(ens)
+    K = host.rho.shape[0]
+    names = []
+    for m in range(K):
+        fname = filename_replace_mem(basename, m) + ".npz"
+        np.savez(d / fname,
+                 rho=host.rho[m], rhou=host.rhou[m], rhov=host.rhov[m],
+                 rhow=host.rhow[m], rhot=host.rhot[m], rhoq=host.rhoq[m])
+        names.append(fname)
+    if aux:
+        for k, v in aux.items():
+            np.savez(d / f"{k}.npz", data=np.asarray(v))
+    manifest = {
+        "members": K,
+        "basename": basename,
+        "files": names,
+        "aux": sorted(aux) if aux else [],
+        "meta": meta or {},
+    }
+    (d / "manifest.json").write_text(json.dumps(manifest, indent=1))
+
+
+def load_ensemble(dirpath: str | Path, basename: str | None = None
+                  ) -> tuple[DycoreState, dict[str, np.ndarray], dict]:
+    """Load an ensemble checkpoint; returns (state, aux, meta)."""
+    d = Path(dirpath)
+    manifest = json.loads((d / "manifest.json").read_text())
+    basename = basename or manifest["basename"]
+    K = manifest["members"]
+    fields = {k: [] for k in ("rho", "rhou", "rhov", "rhow", "rhot", "rhoq")}
+    for m in range(K):
+        z = np.load(d / (filename_replace_mem(basename, m) + ".npz"))
+        for k in fields:
+            fields[k].append(z[k])
+    ens = DycoreState(**{k: np.stack(v) for k, v in fields.items()})
+    aux = {}
+    for k in manifest.get("aux", []):
+        aux[k] = np.load(d / f"{k}.npz")["data"]
+    return ens, aux, manifest.get("meta", {})
+
+
+def save_member(path: str | Path, s: DycoreState):
+    host = jax.device_get(s)
+    np.savez(path, rho=host.rho, rhou=host.rhou, rhov=host.rhov,
+             rhow=host.rhow, rhot=host.rhot, rhoq=host.rhoq)
+
+
+def load_member(path: str | Path) -> DycoreState:
+    z = np.load(path)
+    return DycoreState(rho=z["rho"], rhou=z["rhou"], rhov=z["rhov"],
+                       rhow=z["rhow"], rhot=z["rhot"], rhoq=z["rhoq"])
