@@ -1,0 +1,268 @@
+"""Command-line programs: the reference's executable layer.
+
+Equivalent of the reference L6 executables + L7 workflow driver
+(reference: scale/letkf/letkf.f90, scale/obs/{obsope,obsmake,obssim}.f90,
+scale/ensmodel/scale-rm_ens.f90, scale/run/cycle.sh, scale/run/fcst.sh):
+
+  python -m scale_letkf_tpu letkf   --config c.toml --gues DIR --obs F --anal DIR
+  python -m scale_letkf_tpu obsope  --config c.toml --gues DIR --obs F --out F
+  python -m scale_letkf_tpu obsmake --config c.toml --nature F --obs-template F --out F
+  python -m scale_letkf_tpu obssim  --config c.toml --state F --vars REF,VR --out F
+  python -m scale_letkf_tpu fcst    --config c.toml --init DIR --steps N --out DIR
+  python -m scale_letkf_tpu cycle   --config c.toml --init DIR --cycles N ...
+
+States are checkpoint directories (io/checkpoint.py); obs are the reference
+binary formats (obs/io.py). The experiment geometry lives in the [domain]
+section of the TOML config (an addition over the reference namelists, which
+get geometry from SCALE restart metadata).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tomllib
+
+import numpy as np
+
+
+def load_config_and_grid(path: str):
+    from scale_letkf_tpu.config import Config
+    from scale_letkf_tpu.grid import Grid, Projection
+    from scale_letkf_tpu.model.dycore import DycoreConfig
+
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+    dom = raw.pop("domain", {})
+    cfg = Config.from_dict(raw)
+    proj = Projection(**dom.get("projection", {}))
+    grid = Grid.uniform(
+        nx=dom.get("nx", 40), ny=dom.get("ny", 40), nz=dom.get("nz", 30),
+        dx=dom.get("dx", 2000.0), dy=dom.get("dy", 2000.0),
+        dz=dom.get("dz", 500.0), proj=proj)
+    dycfg = DycoreConfig(
+        dx=grid.dx, dy=grid.dy, dz=float(grid.fz[1] - grid.fz[0]),
+        dt=dom.get("dt", 1.0), ztop=grid.ztop,
+        sponge_height=dom.get("sponge_height", 0.0),
+        sponge_tau=dom.get("sponge_tau", 120.0),
+        divdmp=dom.get("divdmp", 0.05), kdiff4=dom.get("kdiff4", 1.0e-3))
+    return cfg, grid, dycfg, dom
+
+
+def make_driver(cfg, grid, dycfg, dom):
+    from scale_letkf_tpu.cycle import CycleDriver
+    from scale_letkf_tpu.model.ideal import balanced_state
+    qv0 = dom.get("qv_surface", 0.0)
+    qv_prof = (qv0 * np.exp(-grid.cz / dom.get("qv_scale_height", 3000.0))
+               if qv0 > 0 else None)
+    _, rho_ref, p_ref = balanced_state(grid.nz, grid.ny, grid.nx,
+                                       float(grid.fz[1] - grid.fz[0]),
+                                       qv_prof=qv_prof)
+    return CycleDriver(grid, cfg, dycfg, rho_ref, p_ref,
+                       use_physics=dom.get("use_physics", False))
+
+
+def read_obs_files(cfg, paths):
+    from scale_letkf_tpu.obs import io as obsio
+    from scale_letkf_tpu.obs.types import Observations
+    parts = []
+    fmts = list(cfg.obsope.obs_in_format) + ["PREPBUFR"] * len(paths)
+    for p, fmt in zip(paths, fmts):
+        if fmt.upper() == "RADAR" or p.endswith(".radar"):
+            parts.append(obsio.read_obs_radar(p))
+        else:
+            parts.append(obsio.read_obs(p, cfg))
+    return Observations.concatenate(parts)
+
+
+def cmd_letkf(args):
+    from scale_letkf_tpu.io.checkpoint import save_ensemble, load_ensemble
+    cfg, grid, dycfg, dom = load_config_and_grid(args.config)
+    driver = make_driver(cfg, grid, dycfg, dom)
+    ens, aux, meta = load_ensemble(args.gues)
+    import jax.numpy as jnp
+    from scale_letkf_tpu.model.dycore import DycoreState
+    ens = DycoreState(*(jnp.asarray(a) for a in ens))
+    obs = read_obs_files(cfg, args.obs)
+    infl = aux.get("infl")
+    ens_a, info = driver.analysis(ens, obs, infl_field=infl)
+    print(info["stats_gues"].format("O-B"))
+    print(info["stats_anal"].format("O-A"))
+    aux_out = {}
+    if info["diag"].infl_field is not None:
+        aux_out["infl"] = info["diag"].infl_field
+    save_ensemble(args.anal, ens_a, basename="anal.@@@@", aux=aux_out,
+                  meta={**meta, "step": "letkf"})
+    if cfg.monitor.obsdep_out:
+        info["obsdep"].save(f"{args.anal}/{cfg.monitor.obsdep_out_basename}.npz")
+    print(driver.timer.report())
+
+
+def cmd_obsope(args):
+    import jax
+    import jax.numpy as jnp
+    from scale_letkf_tpu.io.checkpoint import load_ensemble
+    from scale_letkf_tpu.model.dycore import DycoreState, to_collocated
+    from scale_letkf_tpu.state import state_trans, state_to_history
+    from scale_letkf_tpu.da.obsope import obsope_ensemble
+    from scale_letkf_tpu.obs import io as obsio
+    cfg, grid, dycfg, dom = load_config_and_grid(args.config)
+    driver = make_driver(cfg, grid, dycfg, dom)
+    ens, _, _ = load_ensemble(args.gues)
+    ens = DycoreState(*(jnp.asarray(a) for a in ens))
+    obs = read_obs_files(cfg, args.obs)
+    gues = state_trans(jax.vmap(to_collocated)(ens))
+    fields = jax.vmap(lambda g: state_to_history(g, driver.z_full))(gues)
+    hx = obsope_ensemble(fields, obs, grid, cfg, driver.z_full)
+    K = hx.ensval.shape[0]
+    for m in range(K):
+        from scale_letkf_tpu.io.checkpoint import filename_replace_mem
+        path = filename_replace_mem(args.out, m)
+        obsio.write_obs_da(path, np.zeros(obs.nobs, np.int32),
+                           np.arange(obs.nobs, dtype=np.int32),
+                           hx.ensval[m].astype(np.float32),
+                           hx.qc.astype(np.int32))
+    print(f"obsope: {obs.nobs} obs x {K} members -> {args.out}")
+
+
+def cmd_obsmake(args):
+    import jax.numpy as jnp
+    from scale_letkf_tpu.io.checkpoint import load_member
+    from scale_letkf_tpu.model.dycore import to_collocated, DycoreState
+    from scale_letkf_tpu.state import state_trans, state_to_history
+    from scale_letkf_tpu.da.obsmake import obsmake
+    from scale_letkf_tpu.obs import io as obsio
+    cfg, grid, dycfg, dom = load_config_and_grid(args.config)
+    driver = make_driver(cfg, grid, dycfg, dom)
+    nat = load_member(args.nature)
+    nat = DycoreState(*(jnp.asarray(a) for a in nat))
+    template = read_obs_files(cfg, [args.obs_template])
+    fields = state_to_history(state_trans(to_collocated(nat)), driver.z_full)
+    rng = np.random.default_rng(args.seed)
+    obs = obsmake(fields, template, grid, cfg, driver.z_full, rng)
+    obsio.write_obs(args.out, obs)
+    print(f"obsmake: wrote {obs.nobs} obs -> {args.out}")
+
+
+def cmd_obssim(args):
+    import jax.numpy as jnp
+    from scale_letkf_tpu.io.checkpoint import load_member
+    from scale_letkf_tpu.model.dycore import to_collocated, DycoreState
+    from scale_letkf_tpu.state import state_trans, state_to_history
+    from scale_letkf_tpu.da.obssim import obssim, write_grads
+    from scale_letkf_tpu.obs.types import OBELM_NAMES, ELEM_UID
+    cfg, grid, dycfg, dom = load_config_and_grid(args.config)
+    driver = make_driver(cfg, grid, dycfg, dom)
+    s = load_member(args.state)
+    s = DycoreState(*(jnp.asarray(a) for a in s))
+    fields = state_to_history(state_trans(to_collocated(s)), driver.z_full)
+    name_to_id = {n.strip().upper(): e for n, e in zip(OBELM_NAMES, ELEM_UID)}
+    elems = [name_to_id[v.strip().upper()] for v in args.vars.split(",")]
+    radar = (dom.get("radar_lon"), dom.get("radar_lat"),
+             dom.get("radar_z", 0.0))
+    radar = None if radar[0] is None else radar
+    out = obssim(fields, elems, grid, cfg, radar_lonlatz=radar)
+    arrays3d = [np.asarray(out[e]) for e in elems
+                if np.asarray(out[e]).ndim == 3]
+    arrays2d = [np.asarray(out[e]) for e in elems
+                if np.asarray(out[e]).ndim == 2]
+    write_grads(args.out, arrays3d, arrays2d)
+    print(f"obssim: wrote {len(elems)} vars -> {args.out}")
+
+
+def cmd_fcst(args):
+    import jax.numpy as jnp
+    from scale_letkf_tpu.io.checkpoint import load_ensemble, save_ensemble
+    from scale_letkf_tpu.model.dycore import DycoreState
+    cfg, grid, dycfg, dom = load_config_and_grid(args.config)
+    driver = make_driver(cfg, grid, dycfg, dom)
+    ens, aux, meta = load_ensemble(args.init)
+    ens = DycoreState(*(jnp.asarray(a) for a in ens))
+    ens = driver.forecast(ens, args.steps)
+    save_ensemble(args.out, ens, basename="gues.@@@@", aux=aux,
+                  meta={**meta, "step": "fcst", "steps": args.steps})
+    print(f"fcst: {args.steps} steps -> {args.out}")
+    print(driver.timer.report())
+
+
+def cmd_cycle(args):
+    import jax.numpy as jnp
+    from scale_letkf_tpu.io.checkpoint import load_ensemble, save_ensemble
+    from scale_letkf_tpu.model.dycore import DycoreState
+    cfg, grid, dycfg, dom = load_config_and_grid(args.config)
+    driver = make_driver(cfg, grid, dycfg, dom)
+    ens, aux, meta = load_ensemble(args.init)
+    ens = DycoreState(*(jnp.asarray(a) for a in ens))
+    infl = aux.get("infl")
+    for c in range(args.cycles):
+        ens = driver.forecast(ens, args.steps_per_cycle)
+        obs = read_obs_files(cfg, [args.obs_pattern.format(cycle=c)])
+        ens, info = driver.analysis(ens, obs, infl_field=infl)
+        if info["diag"].infl_field is not None:
+            infl = info["diag"].infl_field
+        print(f"=== cycle {c} ===")
+        print(info["stats_gues"].format("O-B"))
+        print(info["stats_anal"].format("O-A"))
+    aux_out = {"infl": infl} if infl is not None else {}
+    save_ensemble(args.out, ens, basename="anal.@@@@", aux=aux_out,
+                  meta={"cycles": args.cycles})
+    print(driver.timer.report())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="scale_letkf_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("letkf", help="LETKF analysis step")
+    q.add_argument("--config", required=True)
+    q.add_argument("--gues", required=True)
+    q.add_argument("--obs", nargs="+", required=True)
+    q.add_argument("--anal", required=True)
+    q.set_defaults(fn=cmd_letkf)
+
+    q = sub.add_parser("obsope", help="observation operator")
+    q.add_argument("--config", required=True)
+    q.add_argument("--gues", required=True)
+    q.add_argument("--obs", nargs="+", required=True)
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=cmd_obsope)
+
+    q = sub.add_parser("obsmake", help="synthetic obs from a nature run")
+    q.add_argument("--config", required=True)
+    q.add_argument("--nature", required=True)
+    q.add_argument("--obs-template", required=True)
+    q.add_argument("--out", required=True)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(fn=cmd_obsmake)
+
+    q = sub.add_parser("obssim", help="simulate obs fields on the model grid")
+    q.add_argument("--config", required=True)
+    q.add_argument("--state", required=True)
+    q.add_argument("--vars", required=True, help="e.g. REF,Vr,T")
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=cmd_obssim)
+
+    q = sub.add_parser("fcst", help="ensemble forecast")
+    q.add_argument("--config", required=True)
+    q.add_argument("--init", required=True)
+    q.add_argument("--steps", type=int, required=True)
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=cmd_fcst)
+
+    q = sub.add_parser("cycle", help="cycling DA")
+    q.add_argument("--config", required=True)
+    q.add_argument("--init", required=True)
+    q.add_argument("--cycles", type=int, required=True)
+    q.add_argument("--steps-per-cycle", type=int, required=True)
+    q.add_argument("--obs-pattern", required=True,
+                   help="per-cycle obs path, e.g. obs/cycle{cycle}.dat")
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=cmd_cycle)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,24 +83,40 @@ class CycleDriver:
 
     # -- analysis step (obsope + letkf equivalents) --
     def analysis(self, ens: DycoreState, obs: Observations,
-                 infl_field=None):
-        """Returns (analysis DycoreState ensemble, diagnostics dict)."""
+                 infl_field=None, det: DycoreState | None = None):
+        """Returns (analysis DycoreState ensemble, diagnostics dict).
+
+        `det` is the optional deterministic member (DET_RUN,
+        common_nml.f90:46): it receives the mean-update weights transmd
+        (letkf_tools.f90:489-497) and is returned under key 'det'."""
         cfg = self.cfg
         with self.timer.section("state_trans"):
             restart = jax.vmap(to_collocated)(ens)       # (K, NV3D, nz, ny, nx)
             gues = state_trans(restart)
+            gues_det = (state_trans(to_collocated(det))
+                        if det is not None else None)
 
         with self.timer.section("obsope"):
             fields = jax.vmap(lambda g: state_to_history(g, self.z_full))(gues)
             hx = obsope_ensemble(fields, obs, self.grid, cfg, self.z_full)
+            if det is not None:
+                det_fields = state_to_history(gues_det, self.z_full)
+                y_det, _ = compute_hx_single(det_fields, obs, self.grid,
+                                             cfg, self.z_full)
+                ensval_det = np.asarray(y_det)
+            else:
+                ensval_det = None
 
         with self.timer.section("process_obs"):
-            ctx = build_obs_context(obs, hx.ensval, hx.qc, cfg, self.grid)
+            ctx = build_obs_context(obs, hx.ensval, hx.qc, cfg, self.grid,
+                                    ensval_det=ensval_det)
             stats_gues = monit_dep(ctx.elem, ctx.dep, ctx.qc)
 
         with self.timer.section("das_letkf"):
-            anal, _, diag = analyze(gues, ctx, cfg, self.grid, self.z_full,
-                                    infl_field=infl_field)
+            anal, anal_det, diag = analyze(gues, ctx, cfg, self.grid,
+                                           self.z_full,
+                                           infl_field=infl_field,
+                                           gues_det=gues_det)
             jax.block_until_ready(anal)
 
         with self.timer.section("state_trans_inv"):
@@ -109,6 +125,11 @@ class CycleDriver:
                 positive_definite_q=cfg.letkf.positive_definite_q,
                 positive_definite_qhyd=cfg.letkf.positive_definite_qhyd)
             ens_out = jax.vmap(from_collocated)(anal_restart)
+            det_out = (from_collocated(state_trans_inv(
+                anal_det,
+                positive_definite_q=cfg.letkf.positive_definite_q,
+                positive_definite_qhyd=cfg.letkf.positive_definite_qhyd))
+                if anal_det is not None else None)
 
         # O−A statistics from the analysis mean
         with self.timer.section("monitor"):
@@ -125,6 +146,7 @@ class CycleDriver:
         return ens_out, {
             "gues": gues, "anal": anal, "stats_gues": stats_gues,
             "stats_anal": stats_anal, "diag": diag, "obsdep": obsdep,
+            "det": det_out,
         }
 
     # -- full OSSE twin experiment --
