@@ -60,6 +60,25 @@ class ObsContext:
     elem: np.ndarray
     typ: np.ndarray
     ctypes: list[CtypeContext] = field(default_factory=list)
+    summary: str = ""
+
+
+def obs_usage_table(obs: Observations, qc: np.ndarray) -> str:
+    """Obs counts per (report type × variable), before/after QC — the
+    diagnostic tables of letkf_obs.f90:702-739,870-921."""
+    from scale_letkf_tpu.obs.types import OBTYPE_NAMES, OBELM_NAMES
+    elem_u = uid_obs(obs.elem)
+    lines = ["== obs usage (total / qc-good) =="]
+    for t in sorted(set(obs.typ.tolist())):
+        m_t = obs.typ == t
+        parts = []
+        for u in sorted(set(elem_u[m_t].tolist())):
+            m = m_t & (elem_u == u)
+            parts.append(f"{OBELM_NAMES[u]}:{int(m.sum())}/"
+                         f"{int((m & (qc == QC_GOOD)).sum())}")
+        name = OBTYPE_NAMES[t] if 0 <= t < len(OBTYPE_NAMES) else f"TYP{t}"
+        lines.append(f"  {name:8s} " + "  ".join(parts))
+    return "\n".join(lines)
 
 
 def preprocess_radar_obs(obs: Observations, cfg: Config) -> Observations:
@@ -161,6 +180,8 @@ def build_obs_context(
     ctx = ObsContext(nobs=obs.nobs, x=x, y=y, vert=vert, err=obs.err,
                      dep=dep, depd=depd, hdxb=hdxb, qc=qc,
                      elem=obs.elem, typ=obs.typ)
+
+    ctx.summary = obs_usage_table(obs, qc)
 
     # combined types present among good obs, in (typ, elem_uid) order
     lo = cfg.letkf_obs

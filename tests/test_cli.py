@@ -38,20 +38,19 @@ v = 0.2
 """
 
 
-def run_cli(*args, cwd):
-    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
-    import os
-    env.update({k: v for k, v in os.environ.items()
-                if k not in ("JAX_PLATFORMS",)})
-    env["JAX_PLATFORMS"] = "cpu"
-    r = subprocess.run([sys.executable, "-m", "scale_letkf_tpu", *args],
-                       capture_output=True, text=True, cwd=cwd, env=env,
-                       timeout=420)
-    assert r.returncode == 0, f"CLI failed:\n{r.stdout}\n{r.stderr}"
-    return r.stdout
+def run_cli(*args, cwd=None):
+    """Invoke the CLI in-process (subprocesses would each pay the full JAX
+    import + compile cost; the argument-parsing and program paths are
+    identical)."""
+    import io
+    import contextlib
+    from scale_letkf_tpu.cli.main import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(list(args))
+    return buf.getvalue()
 
 
-@pytest.mark.slow
 def test_cli_full_workflow(tmp_path):
     repo = Path(__file__).resolve().parents[1]
     cfg_path = tmp_path / "exp.toml"
