@@ -114,7 +114,8 @@ def obsope_ensemble(
             qcs.append(qc_s)
         y_all = jnp.stack(ys)     # (S, nobs)
         qc_all = jnp.stack(qcs)
-        sl = jnp.clip(jnp.asarray(slots, jnp.int32) - cfg.obsope.slot_base,
+        # the slot axis covers SLOT_START..SLOT_END (obsope_tools.f90:431)
+        sl = jnp.clip(jnp.asarray(slots, jnp.int32) - cfg.obsope.slot_start,
                       0, n_slots - 1)
         y = jnp.take_along_axis(y_all, sl[None, :], axis=0)[0]
         qc = jnp.take_along_axis(qc_all, sl[None, :], axis=0)[0]
