@@ -78,7 +78,7 @@ def test_boundary_relaxation():
     s, _, _ = balanced_state(nz, ny, nx, dz)
     target = s._replace(rhot=s.rhot + 5.0)
     w = relaxation_weight(ny, nx, width=4, tau=10.0)
-    assert float(w[0, 0]) == 0.1       # full rate at the corner
+    np.testing.assert_allclose(float(w[0, 0]), 0.1, rtol=1e-6)  # edge rate
     assert float(w[8, 8]) == 0.0       # zero in the interior
 
     out = s
