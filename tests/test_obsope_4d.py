@@ -88,8 +88,9 @@ def test_boundary_relaxation():
     # edge converged to the target, interior untouched
     np.testing.assert_allclose(d[:, 0, 0], 5.0, atol=1e-3)
     np.testing.assert_allclose(d[:, 8, 8], 0.0, atol=1e-12)
-    # monotone transition
-    assert d[0, 0, 0] >= d[0, 2, 2] >= d[0, 4, 4] >= 0
+    # monotone transition (within f32 convergence noise at saturated cells)
+    assert d[0, 0, 0] >= d[0, 2, 2] - 1e-3
+    assert d[0, 2, 2] >= d[0, 4, 4] >= 0
 
     # time interpolation of boundary data
     bdy = BoundaryData(state0=s, state1=target, t0=0.0, t1=100.0)
