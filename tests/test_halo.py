@@ -16,7 +16,7 @@ DZ, DX, DY = 500.0, 2000.0, 2000.0
 
 def test_exchange_axis_periodic():
     mesh = make_mesh(1, 1, 4)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from functools import partial
 
