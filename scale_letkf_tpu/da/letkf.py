@@ -47,20 +47,29 @@ class AnalysisDiag:
 
 
 def _level_weights(ctx: ObsContext, cand_list, gp_x, gp_y, logp_lev, z_lev,
-                   cfg: Config, dtype):
+                   cfg: Config, dtype, vl_factors=None):
     """Per-ctype candidate weights at one level → concatenated
-    (idx, rloc, rdiag) of fixed total width."""
+    (idx, rloc, rdiag) of fixed total width.
+
+    vl_factors: optional per-ctype variable-localization factors (the
+    var_local(nvar, obsgroup) multiplier of obs_local_cal,
+    letkf_tools.f90:1837-1846); a factor of 0 rejects the ctype."""
     obs_x = jnp.asarray(ctx.x, dtype)
     obs_y = jnp.asarray(ctx.y, dtype)
     obs_vert = jnp.asarray(ctx.vert, dtype)
     obs_err = jnp.asarray(ctx.err, dtype)
 
     idx_all, rloc_all, rdiag_all = [], [], []
-    for ct, cand in zip(ctx.ctypes, cand_list):
+    for ic, (ct, cand) in enumerate(zip(ctx.ctypes, cand_list)):
+        fac = 1.0 if vl_factors is None else float(vl_factors[ic])
         gp_vert = z_lev if ct.vert_kind == "z" else logp_lev
         nd2, rloc, rdiag = local_weights(
             cand, obs_x, obs_y, obs_vert, obs_err,
-            gp_x, gp_y, gp_vert, ct.hori_scale, ct.vert_scale)
+            gp_x, gp_y, gp_vert, ct.hori_scale, ct.vert_scale,
+            var_local_factor=fac)
+        if fac <= 0.0:
+            rloc = jnp.zeros_like(rloc)
+            rdiag = jnp.ones_like(rdiag)
         if ct.max_nobs > 0:
             idx_k, rloc_k, rdiag_k = limit_obs_topk(
                 cand, nd2, rloc, rdiag, ct.max_nobs,
@@ -115,36 +124,25 @@ def analyze(
 
     adaptive = cfg.letkf.infl_mul_adaptive or cfg.letkf.infl_mul <= 0
 
+    # variable-localization groups: model variables sharing the same column
+    # of the var_local table share one transform (the reference's
+    # var_local_n2n dedup, letkf_tools.f90:129-163)
+    vl_table = cfg.var_local.table(nv)            # (9, nv)
+    cols = [tuple(vl_table[:, v]) for v in range(nv)]
+    unique_cols = list(dict.fromkeys(cols))
+    group_of_var = np.asarray([unique_cols.index(c) for c in cols])
+    group_vars = [np.nonzero(group_of_var == g)[0]
+                  for g in range(len(unique_cols))]
+    group_factors = [
+        [col[ct.varlocal_group] for ct in ctx.ctypes]
+        for col in unique_cols]
+    trivial = len(unique_cols) == 1 and all(
+        f == 1.0 for f in group_factors[0])
+
     @jax.jit
     def level_update(pert_lev, mean_lev, infl_lev, logp_lev, z_lev,
                      pert_det_lev, mean_det_lev):
         """One level: pert_lev (K, nv, B), mean_lev (nv, B), infl (B)."""
-        idx, rloc, rdiag = _level_weights(
-            ctx, cand_list, gp_x, gp_y, logp_lev, z_lev, cfg, dtype)
-        dep, hdxb = gather_obs_data(idx, dep_g, hdxb_g)
-        if depd_g is not None:
-            depd, _ = gather_obs_data(idx, depd_g, hdxb_g)
-        else:
-            depd = None
-        res = letkf_core(hdxb, rdiag, rloc, dep, infl_lev,
-                         rdiag_wloc=True, infl_update=adaptive,
-                         depd=depd, min_infl=max(cfg.letkf.infl_mul_min, 0.0))
-
-        parm = infl_lev if cfg.letkf.relax_to_inflated_prior \
-            else jnp.ones_like(infl_lev)
-        rtps_m = None
-        pert_vbk = jnp.transpose(pert_lev, (1, 2, 0))  # (nv, B, K)
-        if cfg.letkf.relax_alpha != 0.0:
-            trans_rlx = weight_rtpp(res.trans, parm, cfg.letkf.relax_alpha)
-        elif cfg.letkf.relax_alpha_spread != 0.0:
-            # RTPS is per-variable (xb = that variable's K perturbations)
-            trans_all, rtps_m = jax.vmap(
-                lambda xb: weight_rtps(res.trans, res.pao, xb, parm,
-                                       cfg.letkf.relax_alpha_spread))(pert_vbk)
-            trans_rlx = None
-        else:
-            trans_rlx = res.trans
-
         # boundary-buffer β (periodic domains: no boundary → β = 1)
         if cfg.letkf.boundary_buffer_width > 0:
             dist_x = jnp.minimum(gp_x - xs[0], xs[-1] - gp_x)
@@ -154,31 +152,74 @@ def analyze(
         else:
             beta = jnp.ones(B, dtype)
 
-        pert_vk = pert_vbk                            # (nv, B, K)
-        mean_vb = mean_lev                            # (nv, B)
+        pert_vbk = jnp.transpose(pert_lev, (1, 2, 0))  # (nv, B, K)
+        mean_vb = mean_lev                             # (nv, B)
+        parm = infl_lev if cfg.letkf.relax_to_inflated_prior \
+            else jnp.ones_like(infl_lev)
 
-        if trans_rlx is not None:
-            w_tot = total_weight(trans_rlx, res.transm, beta)   # (B, K, K)
-            anal_vbk = mean_vb[..., None] + jnp.einsum(
-                "vbk,bkm->vbm", pert_vk, w_tot,
-                preferred_element_type=dtype)
-        else:
-            # RTPS: per-variable transforms (trans_all: (nv, B, K, K))
-            w_tots = jax.vmap(lambda tv: total_weight(tv, res.transm, beta))(
-                trans_all)
-            anal_vbk = mean_vb[..., None] + jnp.einsum(
-                "vbk,vbkm->vbm", pert_vk, w_tots,
-                preferred_element_type=dtype)
+        anal_parts = [None] * nv
+        det_parts = [None] * nv if pert_det_lev is not None else None
+        infl_out = None
+        nobs_mean = None
 
-        # deterministic member update (letkf_tools.f90:489-497)
-        anal_det = None
-        if pert_det_lev is not None:
-            incr = jnp.einsum("vbk,bk->vb", pert_vk, res.transmd,
-                              preferred_element_type=dtype)
-            anal_det = mean_det_lev + incr * beta[None, :]
+        for g, vidx in enumerate(group_vars):
+            idx, rloc, rdiag = _level_weights(
+                ctx, cand_list, gp_x, gp_y, logp_lev, z_lev, cfg, dtype,
+                vl_factors=None if trivial else group_factors[g])
+            dep, hdxb = gather_obs_data(idx, dep_g, hdxb_g)
+            if depd_g is not None:
+                depd, _ = gather_obs_data(idx, depd_g, hdxb_g)
+            else:
+                depd = None
+            res = letkf_core(hdxb, rdiag, rloc, dep, infl_lev,
+                             rdiag_wloc=True,
+                             infl_update=adaptive and g == 0,
+                             depd=depd,
+                             min_infl=max(cfg.letkf.infl_mul_min, 0.0))
+            if g == 0:
+                infl_out = res.infl
+                nobs_mean = jnp.mean(jnp.sum(rloc > 0, axis=-1).astype(dtype))
 
-        nobs_mean = jnp.mean(jnp.sum(rloc > 0, axis=-1).astype(dtype))
-        return anal_vbk, res.infl, anal_det, nobs_mean, rtps_m
+            pert_g = pert_vbk[vidx]                 # (nvg, B, K)
+            if cfg.letkf.relax_alpha != 0.0:
+                trans_rlx = weight_rtpp(res.trans, parm,
+                                        cfg.letkf.relax_alpha)
+                w_tot = total_weight(trans_rlx, res.transm, beta)
+                anal_g = mean_vb[vidx][..., None] + jnp.einsum(
+                    "vbk,bkm->vbm", pert_g, w_tot,
+                    preferred_element_type=dtype)
+            elif cfg.letkf.relax_alpha_spread != 0.0:
+                # RTPS is per-variable (xb = that variable's K perturbations)
+                trans_all, _ = jax.vmap(
+                    lambda xb: weight_rtps(res.trans, res.pao, xb, parm,
+                                           cfg.letkf.relax_alpha_spread))(
+                    pert_g)
+                w_tots = jax.vmap(
+                    lambda tv: total_weight(tv, res.transm, beta))(trans_all)
+                anal_g = mean_vb[vidx][..., None] + jnp.einsum(
+                    "vbk,vbkm->vbm", pert_g, w_tots,
+                    preferred_element_type=dtype)
+            else:
+                w_tot = total_weight(res.trans, res.transm, beta)
+                anal_g = mean_vb[vidx][..., None] + jnp.einsum(
+                    "vbk,bkm->vbm", pert_g, w_tot,
+                    preferred_element_type=dtype)
+
+            for j, v in enumerate(vidx):
+                anal_parts[int(v)] = anal_g[j]
+
+            # deterministic member update (letkf_tools.f90:489-497)
+            if pert_det_lev is not None:
+                incr = jnp.einsum("vbk,bk->vb", pert_g, res.transmd,
+                                  preferred_element_type=dtype)
+                det_g = mean_det_lev[vidx] + incr * beta[None, :]
+                for j, v in enumerate(vidx):
+                    det_parts[int(v)] = det_g[j]
+
+        anal_vbk = jnp.stack(anal_parts, axis=0)
+        anal_det = (jnp.stack(det_parts, axis=0)
+                    if pert_det_lev is not None else None)
+        return anal_vbk, infl_out, anal_det, nobs_mean, None
 
     anal_levels = []
     anal_det_levels = [] if gues_det is not None else None
