@@ -21,6 +21,10 @@ import numpy as np
 
 
 def bench_tpu(B=10_000, L=30, K=8, iters=20):
+    """Throughput of the full transform. Timing is to-value: the iteration
+    chain ends in a device-side reduction and the wall clock includes
+    fetching that scalar, so asynchronous dispatch cannot fake the number
+    (and only 4 bytes cross the host link)."""
     import jax
     import jax.numpy as jnp
     from scale_letkf_tpu.ops.letkf_core import letkf_core, total_weight
@@ -33,17 +37,17 @@ def bench_tpu(B=10_000, L=30, K=8, iters=20):
     infl = jnp.ones(B, jnp.float32)
 
     @jax.jit
-    def run(hdxb, rdiag, rloc, dep, infl):
-        res = letkf_core(hdxb, rdiag, rloc, dep, infl, infl_update=True)
+    def run(hdxb, rdiag, rloc, dep, infl, salt):
+        res = letkf_core(hdxb, rdiag, rloc, dep + salt, infl,
+                         infl_update=True)
         w = total_weight(res.trans, res.transm, jnp.ones_like(infl))
-        return w, res.infl
+        return w.sum() + res.infl.sum()
 
-    out = run(hdxb, rdiag, rloc, dep, infl)
-    jax.block_until_ready(out)
+    _ = float(run(hdxb, rdiag, rloc, dep, infl, 0.0))   # warm-up
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(hdxb, rdiag, rloc, dep, infl)
-    jax.block_until_ready(out)
+    acc = 0.0
+    for i in range(iters):
+        acc += float(run(hdxb, rdiag, rloc, dep, infl, 1e-7 * i))
     dt = (time.perf_counter() - t0) / iters
     return B / dt
 

@@ -77,21 +77,45 @@ def read_obs_files(cfg, paths):
 
 
 def cmd_letkf(args):
-    from scale_letkf_tpu.io.checkpoint import save_ensemble, load_ensemble
+    import jax
+    import jax.numpy as jnp
+    from scale_letkf_tpu.io.checkpoint import (
+        save_ensemble, load_ensemble, filename_replace_mem)
+    from scale_letkf_tpu.model.dycore import DycoreState, to_collocated
+    from scale_letkf_tpu.state import state_trans, ensemble_mean, \
+        ensemble_spread
+    from scale_letkf_tpu.obs import io as obsio
     cfg, grid, dycfg, dom = load_config_and_grid(args.config)
     driver = make_driver(cfg, grid, dycfg, dom)
     ens, aux, meta = load_ensemble(args.gues)
-    import jax.numpy as jnp
-    from scale_letkf_tpu.model.dycore import DycoreState
     ens = DycoreState(*(jnp.asarray(a) for a in ens))
     obs = read_obs_files(cfg, args.obs)
     infl = aux.get("infl")
-    ens_a, info = driver.analysis(ens, obs, infl_field=infl)
+
+    precomputed = None
+    if args.obsda:
+        # OBSDA_IN path: read per-member H(x) files from a separate obsope
+        K = ens.rho.shape[0]
+        vals, qcs = [], []
+        for m in range(K):
+            _, _, v, q = obsio.read_obs_da(
+                filename_replace_mem(args.obsda, m), obs.nobs)
+            vals.append(v)
+            qcs.append(q)
+        precomputed = (np.stack(vals), np.stack(qcs).max(axis=0))
+
+    ens_a, info = driver.analysis(ens, obs, infl_field=infl,
+                                  precomputed_hx=precomputed)
     print(info["stats_gues"].format("O-B"))
     print(info["stats_anal"].format("O-A"))
     aux_out = {}
     if info["diag"].infl_field is not None:
         aux_out["infl"] = info["diag"].infl_field
+    # mean/spread outputs (GUES_SPRD_OUT/ANAL_SPRD_OUT semantics)
+    aux_out["anal_mean"] = np.asarray(ensemble_mean(info["anal"]))
+    aux_out["anal_sprd"] = np.asarray(ensemble_spread(info["anal"]))
+    aux_out["gues_mean"] = np.asarray(ensemble_mean(info["gues"]))
+    aux_out["gues_sprd"] = np.asarray(ensemble_spread(info["gues"]))
     save_ensemble(args.anal, ens_a, basename="anal.@@@@", aux=aux_out,
                   meta={**meta, "step": "letkf"})
     if cfg.monitor.obsdep_out:
@@ -219,6 +243,8 @@ def main(argv=None):
     q.add_argument("--gues", required=True)
     q.add_argument("--obs", nargs="+", required=True)
     q.add_argument("--anal", required=True)
+    q.add_argument("--obsda", default=None,
+                   help="read precomputed H(x) files (basename with @@@@)")
     q.set_defaults(fn=cmd_letkf)
 
     q = sub.add_parser("obsope", help="observation operator")

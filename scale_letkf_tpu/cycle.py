@@ -83,12 +83,15 @@ class CycleDriver:
 
     # -- analysis step (obsope + letkf equivalents) --
     def analysis(self, ens: DycoreState, obs: Observations,
-                 infl_field=None, det: DycoreState | None = None):
+                 infl_field=None, det: DycoreState | None = None,
+                 precomputed_hx=None):
         """Returns (analysis DycoreState ensemble, diagnostics dict).
 
         `det` is the optional deterministic member (DET_RUN,
         common_nml.f90:46): it receives the mean-update weights transmd
-        (letkf_tools.f90:489-497) and is returned under key 'det'."""
+        (letkf_tools.f90:489-497) and is returned under key 'det'.
+        `precomputed_hx` is an optional (ensval (K,nobs), qc (nobs,)) pair
+        from a separate obsope run (the OBSDA_IN path, common_nml.f90:95)."""
         cfg = self.cfg
         with self.timer.section("state_trans"):
             restart = jax.vmap(to_collocated)(ens)       # (K, NV3D, nz, ny, nx)
@@ -97,8 +100,14 @@ class CycleDriver:
                         if det is not None else None)
 
         with self.timer.section("obsope"):
-            fields = jax.vmap(lambda g: state_to_history(g, self.z_full))(gues)
-            hx = obsope_ensemble(fields, obs, self.grid, cfg, self.z_full)
+            if precomputed_hx is not None:
+                from scale_letkf_tpu.da.obsope import ObsOpeResult
+                hx = ObsOpeResult(ensval=np.asarray(precomputed_hx[0]),
+                                  qc=np.asarray(precomputed_hx[1]))
+            else:
+                fields = jax.vmap(
+                    lambda g: state_to_history(g, self.z_full))(gues)
+                hx = obsope_ensemble(fields, obs, self.grid, cfg, self.z_full)
             if det is not None:
                 det_fields = state_to_history(gues_det, self.z_full)
                 y_det, _ = compute_hx_single(det_fields, obs, self.grid,

@@ -113,6 +113,19 @@ def test_cli_full_workflow(tmp_path):
     assert (tmp_path / "anal" / "anal.0001.npz").exists()
     assert (tmp_path / "anal" / "obsdep.npz").exists()
 
+    # 4b. LETKF with precomputed H(x) (OBSDA_IN path) must agree
+    run_cli("letkf", "--config", str(cfg_path),
+            "--gues", str(tmp_path / "gues"),
+            "--obs", str(tmp_path / "obs.dat"),
+            "--obsda", str(tmp_path / "obsda.@@@@"),
+            "--anal", str(tmp_path / "anal2"), cwd=env_cwd)
+    a1 = np.load(tmp_path / "anal" / "anal.0001.npz")
+    a2 = np.load(tmp_path / "anal2" / "anal.0001.npz")
+    np.testing.assert_allclose(a2["rhot"], a1["rhot"], rtol=1e-5, atol=1e-5)
+    # mean/spread outputs present
+    assert (tmp_path / "anal" / "anal_sprd.npz").exists()
+    assert (tmp_path / "anal" / "gues_mean.npz").exists()
+
     # 5. obssim on the nature state
     run_cli("obssim", "--config", str(cfg_path),
             "--state", str(tmp_path / "nature.npz"),
