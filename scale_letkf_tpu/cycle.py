@@ -49,7 +49,8 @@ class CycleDriver:
     """Cycling DA over an idealized domain (periodic lateral boundaries)."""
 
     def __init__(self, grid: Grid, cfg: Config, dycfg: DycoreConfig,
-                 rho_ref, p_ref, use_physics: bool = False):
+                 rho_ref, p_ref, use_physics: bool = False,
+                 phys_interval: int = 5):
         self.grid = grid
         self.cfg = cfg
         self.dycfg = dycfg
@@ -62,9 +63,24 @@ class CycleDriver:
         self.z_centers = jnp.asarray(grid.cz, jnp.float32)
 
         def fcst_one(s: DycoreState, nsteps: int) -> DycoreState:
-            s = integrate(s, dycfg, rho_ref, p_ref, self.z_centers, nsteps)
-            if use_physics:
-                s = kessler_step(s, dycfg.dt * nsteps, dycfg.dz)
+            if not use_physics:
+                return integrate(s, dycfg, rho_ref, p_ref, self.z_centers,
+                                 nsteps)
+            # interleave microphysics every phys_interval dynamics steps
+            # (the reference's TIME_DT vs TIME_DT_ATMOS_PHY_MP split)
+            chunk = min(phys_interval, nsteps)
+            n_chunks, rem = divmod(nsteps, chunk)
+
+            def body(c, _):
+                c = integrate(c, dycfg, rho_ref, p_ref, self.z_centers,
+                              chunk)
+                c = kessler_step(c, dycfg.dt * chunk, dycfg.dz)
+                return c, None
+
+            s, _ = jax.lax.scan(body, s, None, length=n_chunks)
+            if rem:
+                s = integrate(s, dycfg, rho_ref, p_ref, self.z_centers, rem)
+                s = kessler_step(s, dycfg.dt * rem, dycfg.dz)
             return s
 
         self._fcst_one = fcst_one
