@@ -51,6 +51,9 @@ def letkf_core(
     infl_update: bool = False,
     depd: jax.Array | None = None,  # (..., L) deterministic-member departures
     min_infl: float = 0.0,
+    eigh_impl: str = "lax",   # 'lax' (jnp.linalg.eigh) | 'jacobi' (MXU-native
+                              # parallel Jacobi, ops/eigh_jacobi.py — for
+                              # large K where the eigensolve dominates)
 ) -> LetkfResult:
     """Compute the LETKF transform for a batch of local analysis problems.
 
@@ -76,7 +79,11 @@ def letkf_core(
     gram = gram + shift[..., None] * jnp.eye(K, dtype=dtype)
 
     # Symmetric eigendecomposition (batched; replaces EISPACK rs per point)
-    eival, eivec = jnp.linalg.eigh(gram)
+    if eigh_impl == "jacobi":
+        from scale_letkf_tpu.ops.eigh_jacobi import eigh_jacobi
+        eival, eivec = eigh_jacobi(gram)
+    else:
+        eival, eivec = jnp.linalg.eigh(gram)
 
     # Pa = V Λ^{-1} V^T   (common_letkf.f90:151-157)
     v_over_l = eivec / eival[..., None, :]
@@ -213,5 +220,5 @@ def relax_beta(
 # jit-compiled convenience wrapper with static flags
 letkf_core_jit = jax.jit(
     partial(letkf_core),
-    static_argnames=("rdiag_wloc", "infl_update", "min_infl"),
+    static_argnames=("rdiag_wloc", "infl_update", "min_infl", "eigh_impl"),
 )
