@@ -124,11 +124,17 @@ class Observations:
         return self.nobs
 
     def select(self, mask_or_idx) -> "Observations":
+        # np.array(): slices would otherwise return views, and callers
+        # mutate the result (e.g. radar preprocessing)
         return Observations(
-            elem=self.elem[mask_or_idx], lon=self.lon[mask_or_idx],
-            lat=self.lat[mask_or_idx], lev=self.lev[mask_or_idx],
-            dat=self.dat[mask_or_idx], err=self.err[mask_or_idx],
-            typ=self.typ[mask_or_idx], dif=self.dif[mask_or_idx],
+            elem=np.array(self.elem[mask_or_idx]),
+            lon=np.array(self.lon[mask_or_idx]),
+            lat=np.array(self.lat[mask_or_idx]),
+            lev=np.array(self.lev[mask_or_idx]),
+            dat=np.array(self.dat[mask_or_idx]),
+            err=np.array(self.err[mask_or_idx]),
+            typ=np.array(self.typ[mask_or_idx]),
+            dif=np.array(self.dif[mask_or_idx]),
             meta=self.meta.copy())
 
     @staticmethod
