@@ -1,0 +1,82 @@
+"""EFSO tests: sign convention, localization, energy norm."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from scale_letkf_tpu.grid import Grid
+from scale_letkf_tpu.da.efso import (
+    efso_impact, energy_weights, localized_sums,
+)
+from scale_letkf_tpu.state import NV3D, IA_T, IA_U
+
+
+def test_energy_weights():
+    w = energy_weights(NV3D)
+    assert w[IA_U] == 0.5
+    assert w[IA_T] > 0
+    assert (w >= 0).all()
+
+
+def test_localized_sums_gaussian():
+    f = jnp.zeros((1, 1, 1, 21)).at[0, 0, 0, 10].set(1.0)
+    out = np.asarray(localized_sums(f, sigma_x=2.0, sigma_y=0, sigma_z=0))
+    assert out[0, 0, 0, 10] == out.max()
+    np.testing.assert_allclose(out[0, 0, 0, 12] / out[0, 0, 0, 10],
+                               np.exp(-0.5), rtol=1e-5)
+    assert out[0, 0, 0, 0] == 0.0   # beyond cutoff
+
+
+def test_efso_sign_convention():
+    """A good observation (correct sign innovation, forecast perturbations
+    correlated with obs-space perturbations, forecast error of the same
+    structure) must get NEGATIVE impact (error reduction), and flipping the
+    innovation sign must flip the impact."""
+    rng = np.random.default_rng(0)
+    K, nz, ny, nx = 16, 4, 12, 12
+    grid = Grid.uniform(nx=nx, ny=ny, nz=nz, dx=2e3, dy=2e3, dz=500.0)
+
+    # forecast T perturbations; the error field ē shares the sign of the
+    # ensemble-mean forecast error the obs corrects
+    pert = np.zeros((K, NV3D, nz, ny, nx), np.float32)
+    base = rng.standard_normal((K, nz, ny, nx)).astype(np.float32)
+    base -= base.mean(0, keepdims=True)
+    pert[:, IA_T] = base
+    err = np.zeros((NV3D, nz, ny, nx), np.float32)
+    # forecast is too warm near the obs; ē > 0 there
+    err[IA_T, :, 6, 6] = 1.0
+
+    # obs at (6, 6) level 2: observed colder than the gues (dep < 0),
+    # hdxa = analysis obs-space perturbations ≈ T perturbations there
+    hdxa = base[:, 2, 6, 6][None, :]
+    dep = jnp.asarray([-1.0])
+    ri = jnp.asarray([6.0]); rj = jnp.asarray([6.0]); rk = jnp.asarray([2.0])
+    dj = efso_impact(ri, rj, rk, dep, jnp.asarray([1.0]),
+                     jnp.asarray(hdxa), jnp.asarray(pert), jnp.asarray(err),
+                     grid, hori_scale=6e3, vert_scale_cells=2.0)
+    # dep<0 (obs cools), Σ_k hdxa_k s_k > 0 (pert self-correlation times
+    # positive error) → ΔJ < 0: the obs reduces forecast error
+    assert float(dj[0]) < 0.0
+
+    dj2 = efso_impact(ri, rj, rk, -dep, jnp.asarray([1.0]),
+                      jnp.asarray(hdxa), jnp.asarray(pert), jnp.asarray(err),
+                      grid, hori_scale=6e3, vert_scale_cells=2.0)
+    np.testing.assert_allclose(float(dj2[0]), -float(dj[0]), rtol=1e-5)
+
+
+def test_efso_localization_kills_remote_obs():
+    rng = np.random.default_rng(1)
+    K, nz, ny, nx = 8, 4, 16, 16
+    grid = Grid.uniform(nx=nx, ny=ny, nz=nz, dx=2e3, dy=2e3, dz=500.0)
+    pert = np.zeros((K, NV3D, nz, ny, nx), np.float32)
+    pert[:, IA_T] = rng.standard_normal((K, nz, ny, nx))
+    err = np.zeros((NV3D, nz, ny, nx), np.float32)
+    err[IA_T, :, 2, 2] = 1.0          # error concentrated at (2, 2)
+    hdxa = rng.standard_normal((1, K)).astype(np.float32)
+    # obs far away at (13, 13): with a 2-cell localization scale the
+    # Gaussian cutoff excludes the error region entirely
+    dj = efso_impact(jnp.asarray([13.0]), jnp.asarray([13.0]),
+                     jnp.asarray([2.0]), jnp.asarray([1.0]),
+                     jnp.asarray([1.0]), jnp.asarray(hdxa),
+                     jnp.asarray(pert), jnp.asarray(err), grid,
+                     hori_scale=4e3)
+    np.testing.assert_allclose(float(dj[0]), 0.0, atol=1e-10)
