@@ -21,10 +21,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tomllib
 
 import numpy as np
+
+# Make JAX_PLATFORMS authoritative: site packages may pre-force a platform
+# (e.g. an accelerator plugin) in a way plain env vars cannot override.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 
 def load_config_and_grid(path: str):
@@ -182,7 +192,13 @@ def cmd_obssim(args):
     s = DycoreState(*(jnp.asarray(a) for a in s))
     fields = state_to_history(state_trans(to_collocated(s)), driver.z_full)
     name_to_id = {n.strip().upper(): e for n, e in zip(OBELM_NAMES, ELEM_UID)}
-    elems = [name_to_id[v.strip().upper()] for v in args.vars.split(",")]
+    elems = []
+    for v in args.vars.split(","):
+        key = v.strip().upper()
+        if key not in name_to_id:
+            sys.exit(f"error: unknown obssim variable '{v.strip()}' "
+                     f"(valid: {', '.join(sorted(name_to_id))})")
+        elems.append(name_to_id[key])
     radar = (dom.get("radar_lon"), dom.get("radar_lat"),
              dom.get("radar_z", 0.0))
     radar = None if radar[0] is None else radar
