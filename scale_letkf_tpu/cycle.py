@@ -156,16 +156,18 @@ class CycleDriver:
                 positive_definite_qhyd=cfg.letkf.positive_definite_qhyd))
                 if anal_det is not None else None)
 
-        # O−A statistics from the analysis mean
+        # O−A statistics from the analysis mean. Use the PREPROCESSED obs
+        # values (ctx.dat): radar reflectivity was converted to dBZ by
+        # set_letkf_obs-equivalent preprocessing, and H(x) returns dBZ.
         with self.timer.section("monitor"):
             anal_mean_fields = state_to_history(ensemble_mean(anal), self.z_full)
             y_a, qc_a = compute_hx_single(anal_mean_fields, obs, self.grid,
                                           cfg, self.z_full)
-            oma = obs.dat - np.asarray(y_a)
+            oma = ctx.dat - np.asarray(y_a)
             stats_anal = monit_dep(ctx.elem, oma, ctx.qc)
             obsdep = ObsDepRecord(
                 elem=ctx.elem, typ=ctx.typ, lon=obs.lon, lat=obs.lat,
-                lev=obs.lev, dat=obs.dat, err=obs.err, qc=ctx.qc,
+                lev=obs.lev, dat=ctx.dat, err=ctx.err, qc=ctx.qc,
                 omb=ctx.dep, oma=oma)
 
         return ens_out, {

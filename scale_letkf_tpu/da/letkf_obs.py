@@ -59,6 +59,7 @@ class ObsContext:
     qc: np.ndarray
     elem: np.ndarray
     typ: np.ndarray
+    dat: np.ndarray | None = None    # preprocessed obs values (radar in dBZ)
     ctypes: list[CtypeContext] = field(default_factory=list)
     summary: str = ""
 
@@ -179,7 +180,7 @@ def build_obs_context(
 
     ctx = ObsContext(nobs=obs.nobs, x=x, y=y, vert=vert, err=obs.err,
                      dep=dep, depd=depd, hdxb=hdxb, qc=qc,
-                     elem=obs.elem, typ=obs.typ)
+                     elem=obs.elem, typ=obs.typ, dat=obs.dat)
 
     ctx.summary = obs_usage_table(obs, qc)
 
