@@ -36,9 +36,9 @@ def test_pallas_matches_reference():
     fw = fw.at[0].set(0.0).at[-1].set(0.0)
 
     ref = reference_div(phi, fx, fy, fw, dx, dy, dz)
-    for bx in (32, 16, 8):
+    for bx in (16, 8, 4):
         out = adv_flux_divergence_pallas(phi, fx, fy, fw, dx, dy, dz,
-                                         block_x=bx, interpret=True)
+                                         block_y=bx, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=f"block_x={bx}")
@@ -55,6 +55,6 @@ def test_pallas_upwind_selection():
         fw = jnp.zeros((nz + 1, ny, nx), jnp.float32)
         ref = reference_div(phi, fx, fy, fw, 1.0, 1.0, 1.0)
         out = adv_flux_divergence_pallas(phi, fx, fy, fw, 1.0, 1.0, 1.0,
-                                         block_x=16, interpret=True)
+                                         block_y=4, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
