@@ -44,6 +44,8 @@ class AnalysisDiag:
     nobs_per_level: np.ndarray       # (nz,) mean local obs count
     infl_field: np.ndarray | None    # updated adaptive inflation (nz, ny, nx)
     rtps_field: np.ndarray | None
+    nobs_field: np.ndarray | None = None  # (nz, ny, nx) local obs counts
+                                          # (NOBS_OUT, letkf_tools.f90:763-798)
 
 
 def _level_weights(ctx: ObsContext, cand_list, gp_x, gp_y, logp_lev, z_lev,
@@ -178,7 +180,8 @@ def analyze(
                              min_infl=max(cfg.letkf.infl_mul_min, 0.0))
             if g == 0:
                 infl_out = res.infl
-                nobs_mean = jnp.mean(jnp.sum(rloc > 0, axis=-1).astype(dtype))
+                nobs_point = jnp.sum(rloc > 0, axis=-1)
+                nobs_mean = jnp.mean(nobs_point.astype(dtype))
 
             pert_g = pert_vbk[vidx]                 # (nvg, B, K)
             if cfg.letkf.relax_alpha != 0.0:
@@ -219,12 +222,13 @@ def analyze(
         anal_vbk = jnp.stack(anal_parts, axis=0)
         anal_det = (jnp.stack(det_parts, axis=0)
                     if pert_det_lev is not None else None)
-        return anal_vbk, infl_out, anal_det, nobs_mean, None
+        return anal_vbk, infl_out, anal_det, nobs_mean, nobs_point
 
     anal_levels = []
     anal_det_levels = [] if gues_det is not None else None
     infl_levels = []
     nobs_levels = []
+    nobs_fields = [] if cfg.letkf.nobs_out else None
     z2 = jnp.asarray(z_full, dtype)
     for k in range(nz):
         pert_lev = pert[:, :, k].reshape(K, nv, B)
@@ -238,11 +242,13 @@ def analyze(
         else:
             pert_det = None
             mean_det = None
-        anal_vb, infl_new, anal_det_vb, nobs_mean, _ = level_update(
+        anal_vb, infl_new, anal_det_vb, nobs_mean, nobs_pt = level_update(
             pert_lev, mean_lev, infl_lev, logp_lev, z_lev, pert_det, mean_det)
         anal_levels.append(anal_vb.reshape(nv, ny, nx, K))
         infl_levels.append(infl_new.reshape(ny, nx))
         nobs_levels.append(float(nobs_mean))
+        if nobs_fields is not None:
+            nobs_fields.append(np.asarray(nobs_pt).reshape(ny, nx))
         if gues_det is not None:
             anal_det_levels.append(anal_det_vb.reshape(nv, ny, nx))
 
@@ -275,5 +281,7 @@ def analyze(
     diag = AnalysisDiag(
         nobs_per_level=np.asarray(nobs_levels),
         infl_field=np.asarray(infl_out) if adaptive else None,
-        rtps_field=None)
+        rtps_field=None,
+        nobs_field=(np.stack(nobs_fields, axis=0)
+                    if nobs_fields is not None else None))
     return anal, anal_det_out, diag
