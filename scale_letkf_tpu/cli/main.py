@@ -69,8 +69,12 @@ def make_driver(cfg, grid, dycfg, dom):
     _, rho_ref, p_ref = balanced_state(grid.nz, grid.ny, grid.nx,
                                        float(grid.fz[1] - grid.fz[0]),
                                        qv_prof=qv_prof)
+    topo = None
+    if dom.get("topo_file"):
+        topo = np.load(dom["topo_file"])["topo"]
     return CycleDriver(grid, cfg, dycfg, rho_ref, p_ref,
-                       use_physics=dom.get("use_physics", False))
+                       use_physics=dom.get("use_physics", False),
+                       topo=topo)
 
 
 def read_obs_files(cfg, paths):
@@ -81,6 +85,8 @@ def read_obs_files(cfg, paths):
     for p, fmt in zip(paths, fmts):
         if fmt.upper() == "RADAR" or p.endswith(".radar"):
             parts.append(obsio.read_obs_radar(p))
+        elif fmt.upper() == "HIMAWARI8" or p.endswith(".h08"):
+            parts.append(obsio.read_obs_h08(p, cfg))
         else:
             parts.append(obsio.read_obs(p, cfg))
     return Observations.concatenate(parts)
@@ -90,7 +96,7 @@ def cmd_letkf(args):
     import jax
     import jax.numpy as jnp
     from scale_letkf_tpu.io.checkpoint import (
-        save_ensemble, load_ensemble, filename_replace_mem)
+        save_ensemble, load_ensemble, load_det, filename_replace_mem)
     from scale_letkf_tpu.model.dycore import DycoreState, to_collocated
     from scale_letkf_tpu.state import state_trans, ensemble_mean, \
         ensemble_spread
@@ -99,6 +105,9 @@ def cmd_letkf(args):
     driver = make_driver(cfg, grid, dycfg, dom)
     ens, aux, meta = load_ensemble(args.gues)
     ens = DycoreState(*(jnp.asarray(a) for a in ens))
+    det = load_det(args.gues)
+    if det is not None:
+        det = DycoreState(*(jnp.asarray(a) for a in det))
     obs = read_obs_files(cfg, args.obs)
     infl = aux.get("infl")
 
@@ -106,15 +115,18 @@ def cmd_letkf(args):
     if args.obsda:
         # OBSDA_IN path: read per-member H(x) files from a separate obsope
         K = ens.rho.shape[0]
-        vals, qcs = [], []
+        vals, qcs, levs = [], [], []
         for m in range(K):
-            _, _, v, q = obsio.read_obs_da(
+            rec = obsio.read_obs_da(
                 filename_replace_mem(args.obsda, m), obs.nobs)
-            vals.append(v)
-            qcs.append(q)
-        precomputed = (np.stack(vals), np.stack(qcs).max(axis=0))
+            vals.append(rec[2])
+            qcs.append(rec[3])
+            if len(rec) > 4:
+                levs.append(rec[4])
+        lev = np.stack(levs).mean(axis=0) if levs else None
+        precomputed = (np.stack(vals), np.stack(qcs).max(axis=0), lev)
 
-    ens_a, info = driver.analysis(ens, obs, infl_field=infl,
+    ens_a, info = driver.analysis(ens, obs, infl_field=infl, det=det,
                                   precomputed_hx=precomputed)
     print(info["stats_gues"].format("O-B"))
     print(info["stats_anal"].format("O-A"))
@@ -127,7 +139,7 @@ def cmd_letkf(args):
     aux_out["gues_mean"] = np.asarray(ensemble_mean(info["gues"]))
     aux_out["gues_sprd"] = np.asarray(ensemble_spread(info["gues"]))
     save_ensemble(args.anal, ens_a, basename="anal.@@@@", aux=aux_out,
-                  meta={**meta, "step": "letkf"})
+                  det=info["det"], meta={**meta, "step": "letkf"})
     if cfg.monitor.obsdep_out:
         info["obsdep"].save(f"{args.anal}/{cfg.monitor.obsdep_out_basename}.npz")
     print(driver.timer.report())
@@ -150,13 +162,17 @@ def cmd_obsope(args):
     fields = jax.vmap(lambda g: state_to_history(g, driver.z_full))(gues)
     hx = obsope_ensemble(fields, obs, grid, cfg, driver.z_full)
     K = hx.ensval.shape[0]
+    from scale_letkf_tpu.obs.types import ID_H08IR
+    has_h08 = bool(np.any(obs.elem == ID_H08IR))
     for m in range(K):
         from scale_letkf_tpu.io.checkpoint import filename_replace_mem
         path = filename_replace_mem(args.out, m)
         obsio.write_obs_da(path, np.zeros(obs.nobs, np.int32),
                            np.arange(obs.nobs, dtype=np.int32),
                            hx.ensval[m].astype(np.float32),
-                           hx.qc.astype(np.int32))
+                           hx.qc.astype(np.int32),
+                           lev=hx.lev if has_h08 else None,
+                           val2=hx.val2 if has_h08 else None)
     print(f"obsope: {obs.nobs} obs x {K} members -> {args.out}")
 
 
@@ -175,7 +191,13 @@ def cmd_obsmake(args):
     fields = state_to_history(state_trans(to_collocated(nat)), driver.z_full)
     rng = np.random.default_rng(args.seed)
     obs = obsmake(fields, template, grid, cfg, driver.z_full, rng)
-    obsio.write_obs(args.out, obs)
+    from scale_letkf_tpu.obs.types import ID_H08IR, TYP_PHARAD
+    if obs.nobs and (obs.elem == ID_H08IR).all():
+        obsio.write_obs_h08(args.out, obs)
+    elif obs.nobs and (obs.typ == TYP_PHARAD).all():
+        obsio.write_obs_radar(args.out, obs)
+    else:
+        obsio.write_obs(args.out, obs)
     print(f"obsmake: wrote {obs.nobs} obs -> {args.out}")
 
 
@@ -211,16 +233,40 @@ def cmd_obssim(args):
     print(f"obssim: wrote {len(elems)} vars -> {args.out}")
 
 
+def cmd_pp(args):
+    """Topography preprocessing (scale-rm_pp_ens equivalent): DEM raster →
+    smoothed model-grid topo written as npz for the [domain] topo_file key."""
+    from scale_letkf_tpu.model.topo import read_dem, prepare_topo
+    cfg, grid, dycfg, dom = load_config_and_grid(args.config)
+    dem_kw = {}
+    if args.dem_geometry:
+        nlon, nlat, lon0, dlon, lat0, dlat = \
+            [float(v) for v in args.dem_geometry.split(",")]
+        dem_kw = dict(nlon=int(nlon), nlat=int(nlat), lon0=lon0, dlon=dlon,
+                      lat0=lat0, dlat=dlat)
+    elev, dlons, dlats = read_dem(args.dem, **dem_kw)
+    topo = prepare_topo(elev, dlons, dlats, grid,
+                        max_slope_ratio=args.max_slope_ratio)
+    np.savez(args.out, topo=topo)
+    print(f"pp: topo {topo.shape} min={topo.min():.1f} max={topo.max():.1f} "
+          f"-> {args.out}")
+
+
 def cmd_fcst(args):
     import jax.numpy as jnp
-    from scale_letkf_tpu.io.checkpoint import load_ensemble, save_ensemble
+    from scale_letkf_tpu.io.checkpoint import (
+        load_ensemble, save_ensemble, load_det)
     from scale_letkf_tpu.model.dycore import DycoreState
     cfg, grid, dycfg, dom = load_config_and_grid(args.config)
     driver = make_driver(cfg, grid, dycfg, dom)
     ens, aux, meta = load_ensemble(args.init)
     ens = DycoreState(*(jnp.asarray(a) for a in ens))
+    det = load_det(args.init)
     ens = driver.forecast(ens, args.steps)
-    save_ensemble(args.out, ens, basename="gues.@@@@", aux=aux,
+    if det is not None:
+        det = DycoreState(*(jnp.asarray(a) for a in det))
+        det = driver.forecast_one(det, args.steps)
+    save_ensemble(args.out, ens, basename="gues.@@@@", aux=aux, det=det,
                   meta={**meta, "step": "fcst", "steps": args.steps})
     print(f"fcst: {args.steps} steps -> {args.out}")
     print(driver.timer.report())
@@ -230,22 +276,32 @@ def cmd_cycle(args):
     import jax.numpy as jnp
     from scale_letkf_tpu.io.checkpoint import load_ensemble, save_ensemble
     from scale_letkf_tpu.model.dycore import DycoreState
+    from scale_letkf_tpu.io.checkpoint import load_det
     cfg, grid, dycfg, dom = load_config_and_grid(args.config)
     driver = make_driver(cfg, grid, dycfg, dom)
     ens, aux, meta = load_ensemble(args.init)
     ens = DycoreState(*(jnp.asarray(a) for a in ens))
+    # DET_RUN_CYCLED: a deterministic member present in the initial
+    # checkpoint is forecast and analyzed (transmd weights) every cycle
+    det = load_det(args.init)
+    if det is not None:
+        det = DycoreState(*(jnp.asarray(a) for a in det))
     infl = aux.get("infl")
     for c in range(args.cycles):
         ens = driver.forecast(ens, args.steps_per_cycle)
+        if det is not None:
+            det = driver.forecast_one(det, args.steps_per_cycle)
         obs = read_obs_files(cfg, [args.obs_pattern.format(cycle=c)])
-        ens, info = driver.analysis(ens, obs, infl_field=infl)
+        ens, info = driver.analysis(ens, obs, infl_field=infl, det=det)
+        if det is not None:
+            det = info["det"]
         if info["diag"].infl_field is not None:
             infl = info["diag"].infl_field
         print(f"=== cycle {c} ===")
         print(info["stats_gues"].format("O-B"))
         print(info["stats_anal"].format("O-A"))
     aux_out = {"infl": infl} if infl is not None else {}
-    save_ensemble(args.out, ens, basename="anal.@@@@", aux=aux_out,
+    save_ensemble(args.out, ens, basename="anal.@@@@", aux=aux_out, det=det,
                   meta={"cycles": args.cycles})
     print(driver.timer.report())
 
@@ -284,6 +340,16 @@ def main(argv=None):
     q.add_argument("--vars", required=True, help="e.g. REF,Vr,T")
     q.add_argument("--out", required=True)
     q.set_defaults(fn=cmd_obssim)
+
+    q = sub.add_parser("pp", help="topography preprocessing (scale-rm_pp)")
+    q.add_argument("--config", required=True)
+    q.add_argument("--dem", required=True,
+                   help="DEM raster: .npz (elev/lon/lat) or flat binary")
+    q.add_argument("--dem-geometry", default=None,
+                   help="flat binary geometry: nlon,nlat,lon0,dlon,lat0,dlat")
+    q.add_argument("--max-slope-ratio", type=float, default=0.5)
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=cmd_pp)
 
     q = sub.add_parser("fcst", help="ensemble forecast")
     q.add_argument("--config", required=True)

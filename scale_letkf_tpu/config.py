@@ -93,6 +93,7 @@ class LetkfConfig:
     gross_error_rain: float = -1.0
     gross_error_radar_ref: float = -1.0
     gross_error_radar_vr: float = -1.0
+    gross_error_h08: float = -1.0
     # humidity handling
     q_update_top: float = 0.0        # Pa; q updated only below this level (0: everywhere)
     q_sprd_max: float = -1.0         # max spread/mean ratio for q (<=0: off)
@@ -108,6 +109,7 @@ class LetkfConfig:
             "rain": self.gross_error_rain,
             "radar_ref": self.gross_error_radar_ref,
             "radar_vr": self.gross_error_radar_vr,
+            "h08": self.gross_error_h08,
         }.get(kind, -1.0)
         return v if v > 0 else self.gross_error
 
@@ -211,6 +213,18 @@ class RadarConfig:
 
 
 @dataclass
+class H08Config:
+    """PARAM_LETKF_H08 (common_nml.f90:277-289): Himawari-8 IR radiances."""
+    h08_reject_land: bool = False
+    h08_rttov_cld: bool = True         # all-sky (vs clear-sky) forward model
+    h08_min_cld_member: int = 1
+    h08_cldsky_thrs: float = -5.0      # <0: all members diagnosed cloudy
+    h08_limit_lev: float = 20000.0     # Pa; reject obs sensitive above this
+    h08_bt_min: float = 0.0            # K; reject colder obs
+    h08_ch_use: tuple[int, ...] = (0, 0, 1, 0, 0, 0, 0, 0, 0, 0)
+
+
+@dataclass
 class ObsErrorConfig:
     """PARAM_OBS_ERROR (common_nml.f90:311-323): default obs error stdevs
     used by obsmake (synthetic obs) and optionally to override file errors."""
@@ -225,6 +239,8 @@ class ObsErrorConfig:
     tcx: float = 50.0e3
     tcy: float = 50.0e3
     tcp: float = 5.0e2
+    # per-channel H08 BT errors (OBSERR_H08, common_nml.f90:309)
+    h08: tuple[float, ...] = tuple([5.0] * 10)
 
 
 @dataclass
@@ -239,6 +255,7 @@ class Config:
     var_local: VarLocalConfig = field(default_factory=VarLocalConfig)
     monitor: MonitorConfig = field(default_factory=MonitorConfig)
     radar: RadarConfig = field(default_factory=RadarConfig)
+    h08: H08Config = field(default_factory=H08Config)
     obs_error: ObsErrorConfig = field(default_factory=ObsErrorConfig)
 
     @classmethod

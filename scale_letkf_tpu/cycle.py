@@ -50,7 +50,7 @@ class CycleDriver:
 
     def __init__(self, grid: Grid, cfg: Config, dycfg: DycoreConfig,
                  rho_ref, p_ref, use_physics: bool = False,
-                 phys_interval: int = 5):
+                 phys_interval: int = 5, topo=None):
         self.grid = grid
         self.cfg = cfg
         self.dycfg = dycfg
@@ -58,7 +58,10 @@ class CycleDriver:
         self.p_ref = p_ref
         self.use_physics = use_physics
         self.timer = Timer()
-        topo = jnp.zeros((grid.ny, grid.nx))
+        # prepared topography (read_topo equivalent, common_scale.f90:785)
+        topo = jnp.zeros((grid.ny, grid.nx)) if topo is None \
+            else jnp.asarray(topo)
+        self.topo = topo
         self.z_full = grid.calc_z(topo)
         self.z_centers = jnp.asarray(grid.cz, jnp.float32)
 
@@ -118,8 +121,12 @@ class CycleDriver:
         with self.timer.section("obsope"):
             if precomputed_hx is not None:
                 from scale_letkf_tpu.da.obsope import ObsOpeResult
+                lev_pc = (np.asarray(precomputed_hx[2])
+                          if len(precomputed_hx) > 2
+                          and precomputed_hx[2] is not None else None)
                 hx = ObsOpeResult(ensval=np.asarray(precomputed_hx[0]),
-                                  qc=np.asarray(precomputed_hx[1]))
+                                  qc=np.asarray(precomputed_hx[1]),
+                                  lev=lev_pc)
             else:
                 fields = jax.vmap(
                     lambda g: state_to_history(g, self.z_full))(gues)
@@ -134,7 +141,7 @@ class CycleDriver:
 
         with self.timer.section("process_obs"):
             ctx = build_obs_context(obs, hx.ensval, hx.qc, cfg, self.grid,
-                                    ensval_det=ensval_det)
+                                    ensval_det=ensval_det, hx_lev=hx.lev)
             stats_gues = monit_dep(ctx.elem, ctx.dep, ctx.qc)
 
         with self.timer.section("das_letkf"):
@@ -163,7 +170,11 @@ class CycleDriver:
             anal_mean_fields = state_to_history(ensemble_mean(anal), self.z_full)
             y_a, qc_a = compute_hx_single(anal_mean_fields, obs, self.grid,
                                           cfg, self.z_full)
-            oma = ctx.dat - np.asarray(y_a)
+            y_a = np.asarray(y_a).copy()
+            from scale_letkf_tpu.obs.types import ID_H08IR
+            m_h08 = ctx.elem == ID_H08IR
+            y_a[m_h08] = np.abs(y_a[m_h08])   # drop the cloudy-sky sign flag
+            oma = ctx.dat - y_a
             stats_anal = monit_dep(ctx.elem, oma, ctx.qc)
             obsdep = ObsDepRecord(
                 elem=ctx.elem, typ=ctx.typ, lon=obs.lon, lat=obs.lat,

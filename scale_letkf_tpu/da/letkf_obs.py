@@ -22,8 +22,8 @@ from scale_letkf_tpu.config import Config
 from scale_letkf_tpu.grid import Grid
 from scale_letkf_tpu.obs.types import (
     Observations, ID_RADAR_REF, ID_RADAR_REF_ZERO, ID_RADAR_VR, ID_RAIN,
-    ID_PS, QC_GOOD, QC_GROSS_ERR, QC_OTYPE, QC_OBS_BAD, QC_REF_MEM,
-    uid_obs, uid_obs_varlocal, TYP_PHARAD, NOBTYPE,
+    ID_PS, ID_H08IR, QC_GOOD, QC_GROSS_ERR, QC_OTYPE, QC_OBS_BAD,
+    QC_REF_MEM, uid_obs, uid_obs_varlocal, TYP_PHARAD, NOBTYPE,
 )
 from scale_letkf_tpu.ops.localization import DIST_ZERO_FAC
 from scale_letkf_tpu.ops.obs_select import BucketGrid, build_buckets
@@ -112,6 +112,7 @@ def qc_and_departures(
     qc_in: np.ndarray,
     cfg: Config,
     ensval_det: np.ndarray | None = None,
+    hx_lev: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
     """Ensemble-mean departures, Hdx perturbations, gross-error and
     radar min-member QC (letkf_obs.f90:384-561).
@@ -136,6 +137,20 @@ def qc_and_departures(
                         r.min_radar_ref_member)
         qc[is_ref & (qc == QC_GOOD) & (mem_ref < need)] = QC_REF_MEM
 
+    # Himawari-8: cloudy members carry negated BT (Trans_XtoY_H08,
+    # common_obs_scale.f90:2957-2963); count then un-negate
+    # (letkf_obs.f90:432-470), reject obs sensitive above H08_LIMIT_LEV
+    is_h08 = obs.elem == ID_H08IR
+    mem_cld = np.zeros(obs.nobs, np.int64)
+    if is_h08.any():
+        ensval = ensval.copy()
+        mem_cld = ((ensval < 0) & is_h08[None, :]).sum(axis=0)
+        ensval[:, is_h08] = np.abs(ensval[:, is_h08])
+        qc[is_h08 & (obs.dat == UNDEF)] = QC_OBS_BAD
+        if hx_lev is not None:
+            qc[is_h08 & (hx_lev < cfg.h08.h08_limit_lev)] = QC_OBS_BAD
+        qc[is_h08 & (obs.dat < cfg.h08.h08_bt_min)] = QC_GROSS_ERR
+
     mean = ensval.mean(axis=0)
     hdxb = (ensval - mean[None, :]).T          # (nobs, K)
     dep = obs.dat - mean
@@ -146,6 +161,10 @@ def qc_and_departures(
     thr[obs.elem == ID_RAIN] = cfg.letkf.gross_thresh("rain")
     thr[is_ref] = cfg.letkf.gross_thresh("radar_ref")
     thr[is_vr] = cfg.letkf.gross_thresh("radar_vr")
+    # H08 adaptive gross check: clear-sky background (few cloudy members)
+    # gets a tight 1-sigma limit (letkf_obs.f90:521-537)
+    thr[is_h08] = np.where(mem_cld[is_h08] < cfg.h08.h08_min_cld_member,
+                           1.0, cfg.letkf.gross_thresh("h08"))
     qc[(qc == QC_GOOD) & (np.abs(dep) > thr * obs.err)] = QC_GROSS_ERR
     return dep, hdxb, qc, depd
 
@@ -157,11 +176,12 @@ def build_obs_context(
     cfg: Config,
     grid: Grid,
     ensval_det: np.ndarray | None = None,
+    hx_lev: np.ndarray | None = None,
 ) -> ObsContext:
     """Full set_letkf_obs pipeline → ObsContext with per-ctype buckets."""
     obs = preprocess_radar_obs(obs, cfg)
     dep, hdxb, qc, depd = qc_and_departures(obs, ensval, qc_in, cfg,
-                                            ensval_det)
+                                            ensval_det, hx_lev)
     good = qc == QC_GOOD
 
     x, y = grid.proj.lonlat_to_xy(obs.lon, obs.lat)
@@ -177,6 +197,11 @@ def build_obs_context(
     vert[m_ps] = np.log(np.maximum(obs.dat[m_ps], 1e-10))      # obs ps value
     m_rain = obs.elem == ID_RAIN
     vert[m_rain] = np.log(cfg.letkf_obs.vert_local_rain_base)
+    # H08: vertical coordinate is the weighting-function peak pressure
+    # computed by the obs operator (obsda%lev; letkf_tools.f90:1861)
+    m_h08 = obs.elem == ID_H08IR
+    if m_h08.any() and hx_lev is not None:
+        vert[m_h08] = np.log(np.maximum(hx_lev[m_h08], 1e-10))
 
     ctx = ObsContext(nobs=obs.nobs, x=x, y=y, vert=vert, err=obs.err,
                      dep=dep, depd=depd, hdxb=hdxb, qc=qc,

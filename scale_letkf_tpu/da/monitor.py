@@ -14,7 +14,7 @@ import numpy as np
 
 from scale_letkf_tpu.obs.types import (
     ID_U, ID_V, ID_T, ID_TV, ID_Q, ID_RH, ID_PS, ID_RAIN,
-    ID_RADAR_REF, ID_RADAR_REF_ZERO, ID_RADAR_VR, QC_GOOD,
+    ID_RADAR_REF, ID_RADAR_REF_ZERO, ID_RADAR_VR, ID_H08IR, QC_GOOD,
 )
 
 # monitored variable groups, mirroring monit_dep's columns
@@ -28,6 +28,7 @@ MONIT_GROUPS = (
     ("RAIN", (ID_RAIN,)),
     ("REF", (ID_RADAR_REF, ID_RADAR_REF_ZERO)),
     ("Vr", (ID_RADAR_VR,)),
+    ("H08", (ID_H08IR,)),
 )
 
 

@@ -15,18 +15,23 @@ from scale_letkf_tpu.config import Config
 from scale_letkf_tpu.grid import Grid
 from scale_letkf_tpu.obs.types import (
     Observations, ID_U, ID_V, ID_T, ID_Q, ID_PS, ID_RH,
-    ID_RADAR_REF, ID_RADAR_VR, QC_GOOD,
+    ID_RADAR_REF, ID_RADAR_VR, ID_H08IR, QC_GOOD,
 )
 from scale_letkf_tpu.da.obsope import compute_hx_single
 
 
-def default_err(elem: np.ndarray, cfg: Config) -> np.ndarray:
+def default_err(elem: np.ndarray, cfg: Config, lev=None) -> np.ndarray:
     e = cfg.obs_error
     table = {ID_U: e.u, ID_V: e.v, ID_T: e.t, ID_Q: e.q, ID_RH: e.rh,
              ID_PS: e.ps, ID_RADAR_REF: e.radar_ref, ID_RADAR_VR: e.radar_vr}
     out = np.ones(len(elem))
     for k, v in table.items():
         out[elem == k] = v
+    m = elem == ID_H08IR
+    if m.any() and lev is not None:
+        # per-channel BT errors (OBSERR_H08; channel stored in obs lev)
+        ch = np.clip(lev[m].astype(int) - 1, 0, len(e.h08) - 1)
+        out[m] = np.asarray(e.h08)[ch]
     return out
 
 
@@ -74,11 +79,18 @@ def obsmake(
     """Nature-run H(x) + noise → synthetic obs (obsope_tools.f90:1000-1041).
     Obs with bad QC (outside domain/levels) are dropped."""
     y, qc = compute_hx_single(nature_fields, obs_template, grid, cfg, z_full)
-    y = np.asarray(y)
+    y = np.asarray(y).copy()
     qc = np.asarray(qc)
-    err = default_err(obs_template.elem, cfg)
+    # H08 all-sky BT carries a cloudy-sky sign flag; the obs value is |BT|
+    m_h08 = obs_template.elem == ID_H08IR
+    y[m_h08] = np.abs(y[m_h08])
+    err = default_err(obs_template.elem, cfg, obs_template.lev)
     obs = obs_template.select(slice(None))
     obs.err = err
     obs.dat = y if perfect else y + rng.standard_normal(len(y)) * err
-    keep = qc == QC_GOOD
+    # H08 profiles are written whole (nch channels per record): keep
+    # channels regardless of the ch_use gate unless the profile itself is
+    # out of the domain (QC_OUT_H applies to all its channels alike)
+    from scale_letkf_tpu.obs.types import QC_OUT_H
+    keep = (qc == QC_GOOD) | (m_h08 & (qc != QC_OUT_H))
     return obs.select(keep)

@@ -24,9 +24,10 @@ from scale_letkf_tpu.config import Config
 from scale_letkf_tpu.grid import Grid
 from scale_letkf_tpu.obs.types import (
     Observations, ObsDataset, ID_PS, ID_RADAR_REF, ID_RADAR_REF_ZERO,
-    ID_RADAR_VR, QC_GOOD, QC_OUT_H, QC_TIME, TYP_PHARAD,
+    ID_RADAR_VR, ID_H08IR, QC_GOOD, QC_OUT_H, QC_TIME, TYP_PHARAD,
 )
 from scale_letkf_tpu.obs import operators as op
+from scale_letkf_tpu.obs.h08 import trans_xtoy_h08
 
 
 def is_radar_elem(elem: np.ndarray) -> np.ndarray:
@@ -45,6 +46,8 @@ class ObsOpeResult:
     """Per-obs ensemble H(x) with QC (obs_da_value analogue)."""
     ensval: np.ndarray    # (K, nobs)
     qc: np.ndarray        # (nobs,) worst QC across members
+    lev: np.ndarray | None = None    # (nobs,) H08 sensitive pressure [Pa]
+    val2: np.ndarray | None = None   # (nobs,) H08 clear-sky BT [K]
 
 
 def compute_hx_single(
@@ -53,8 +56,11 @@ def compute_hx_single(
     grid: Grid,
     cfg: Config,
     z_full: jax.Array,
-) -> tuple[jax.Array, jax.Array]:
-    """H(x) of one member's history fields for all obs. Returns (y, qc)."""
+    with_aux: bool = False,
+) -> tuple[jax.Array, ...]:
+    """H(x) of one member's history fields for all obs. Returns (y, qc),
+    or (y, qc, lev, val2) when with_aux (H08 sensitive pressure +
+    clear-sky BT; zeros for non-H08 obs)."""
     lon = jnp.asarray(obs.lon)
     lat = jnp.asarray(obs.lat)
     lev = jnp.asarray(obs.lev)
@@ -85,6 +91,28 @@ def compute_hx_single(
     qc = jnp.maximum(qc, qc_vert)
     # radar height limit (RADAR_ZMAX, common_nml.f90:278; QC radar_vhi)
     qc = jnp.where(radar & (lev > cfg.radar.radar_zmax), 19, qc)
+
+    # Himawari-8 IR radiances (Trans_XtoY_H08; channel stored in obs lev,
+    # letkf_obs.f90:463-465) — gated host-side so non-H08 workloads pay
+    # nothing for the radiative transfer.
+    lev_aux = jnp.zeros(elem.shape)
+    val2 = jnp.zeros(elem.shape)
+    if bool(np.any(obs.elem == ID_H08IR)):
+        h = cfg.h08
+        y_h, bclr, plev, qc_h = trans_xtoy_h08(
+            lev, ri, rj, lon, lat, fields,
+            ch_use=h.h08_ch_use, cldsky_thrs=h.h08_cldsky_thrs,
+            reject_land=h.h08_reject_land)
+        ny, nx = fields["ps"].shape[-2:]
+        out_h = (ri < 0) | (ri > nx - 1) | (rj < 0) | (rj > ny - 1)
+        qc_h = jnp.where(out_h, QC_OUT_H, qc_h)
+        is_h08 = elem == ID_H08IR
+        y = jnp.where(is_h08, y_h, y)
+        qc = jnp.where(is_h08, qc_h, qc)     # H08 bypasses phys2ijk QC
+        lev_aux = jnp.where(is_h08, plev, 0.0)
+        val2 = jnp.where(is_h08, bclr, 0.0)
+    if with_aux:
+        return y, qc, lev_aux, val2
     return y, qc
 
 
@@ -103,15 +131,19 @@ def obsope_ensemble(
 
     def member_hx(fields_k):
         if not has_slots:
-            return compute_hx_single(fields_k, obs, grid, cfg, z_full)
+            return compute_hx_single(fields_k, obs, grid, cfg, z_full,
+                                     with_aux=True)
         # per-slot computation then per-obs slot selection
         n_slots = fields_k["t"].shape[0]
-        ys, qcs = [], []
+        ys, qcs, levs, v2s = [], [], [], []
         for s in range(n_slots):
             f_s = {k: v[s] for k, v in fields_k.items()}
-            y_s, qc_s = compute_hx_single(f_s, obs, grid, cfg, z_full)
+            y_s, qc_s, lev_s, v2_s = compute_hx_single(
+                f_s, obs, grid, cfg, z_full, with_aux=True)
             ys.append(y_s)
             qcs.append(qc_s)
+            levs.append(lev_s)
+            v2s.append(v2_s)
         y_all = jnp.stack(ys)     # (S, nobs)
         qc_all = jnp.stack(qcs)
         # the slot axis covers SLOT_START..SLOT_END (obsope_tools.f90:431)
@@ -119,10 +151,14 @@ def obsope_ensemble(
                       0, n_slots - 1)
         y = jnp.take_along_axis(y_all, sl[None, :], axis=0)[0]
         qc = jnp.take_along_axis(qc_all, sl[None, :], axis=0)[0]
+        lev = jnp.take_along_axis(jnp.stack(levs), sl[None, :], axis=0)[0]
+        v2 = jnp.take_along_axis(jnp.stack(v2s), sl[None, :], axis=0)[0]
         in_window = ((jnp.asarray(slots) >= cfg.obsope.slot_start)
                      & (jnp.asarray(slots) <= cfg.obsope.slot_end))
         qc = jnp.where(in_window, qc, QC_TIME)
-        return y, qc
+        return y, qc, lev, v2
 
-    y, qc = jax.vmap(member_hx)(hist_fields)
-    return ObsOpeResult(ensval=np.asarray(y), qc=np.asarray(qc.max(axis=0)))
+    y, qc, lev, v2 = jax.vmap(member_hx)(hist_fields)
+    return ObsOpeResult(ensval=np.asarray(y), qc=np.asarray(qc.max(axis=0)),
+                        lev=np.asarray(lev.mean(axis=0)),
+                        val2=np.asarray(v2.mean(axis=0)))

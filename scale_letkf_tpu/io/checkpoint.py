@@ -45,8 +45,12 @@ def save_ensemble(
     basename: str = "anal.@@@@",
     aux: dict[str, np.ndarray] | None = None,
     meta: dict | None = None,
+    det: DycoreState | None = None,
 ):
-    """Write one member file per ensemble member + manifest + aux fields."""
+    """Write one member file per ensemble member + manifest + aux fields.
+    `det` is the optional deterministic member (DET_RUN, common_nml.f90:46),
+    stored under the 'mdet' member name (mmdet = MEMBER+2 in the reference,
+    common_mpi_scale.f90:468-507)."""
     d = Path(dirpath)
     d.mkdir(parents=True, exist_ok=True)
     host = jax.device_get(ens)
@@ -58,6 +62,9 @@ def save_ensemble(
                  rho=host.rho[m], rhou=host.rhou[m], rhov=host.rhov[m],
                  rhow=host.rhow[m], rhot=host.rhot[m], rhoq=host.rhoq[m])
         names.append(fname)
+    if det is not None:
+        save_member(d / (filename_replace_mem(basename, "mdet") + ".npz"),
+                    det)
     if aux:
         for k, v in aux.items():
             np.savez(d / f"{k}.npz", data=np.asarray(v))
@@ -65,6 +72,7 @@ def save_ensemble(
         "members": K,
         "basename": basename,
         "files": names,
+        "det": det is not None,
         "aux": sorted(aux) if aux else [],
         "meta": meta or {},
     }
@@ -88,6 +96,18 @@ def load_ensemble(dirpath: str | Path, basename: str | None = None
     for k in manifest.get("aux", []):
         aux[k] = np.load(d / f"{k}.npz")["data"]
     return ens, aux, manifest.get("meta", {})
+
+
+def load_det(dirpath: str | Path) -> DycoreState | None:
+    """Load the deterministic member from a checkpoint, if present
+    (DET_RUN_CYCLED semantics: its presence in the prior analysis makes it
+    cycle, common_mpi_scale.f90:492-498)."""
+    d = Path(dirpath)
+    manifest = json.loads((d / "manifest.json").read_text())
+    if not manifest.get("det"):
+        return None
+    return load_member(
+        d / (filename_replace_mem(manifest["basename"], "mdet") + ".npz"))
 
 
 def save_member(path: str | Path, s: DycoreState):

@@ -215,26 +215,81 @@ def write_obs_radar(path: str, obs: Observations, radar_obs_4d: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# Himawari-8 obs format — get_nobs_H08/read_obs_H08/write_obs_H08
+# (f90:2972-3110): one record per profile, 4+nch floats
+# (elm, typ, lon, lat, BT[nch]); lev gets the band number ch+6 (f90:3057)
+# ---------------------------------------------------------------------------
+
+def read_obs_h08(path: str, cfg: Config | None = None) -> Observations:
+    from scale_letkf_tpu.obs.h08 import NCHAN
+    errs = (np.asarray(cfg.obs_error.h08, np.float64) if cfg is not None
+            else np.full(NCHAN, 5.0))
+    wk = read_records(path, 0, 4 + NCHAN).astype(np.float64)
+    nprof = len(wk)
+    elem = np.repeat(np.rint(wk[:, 0]).astype(np.int32), NCHAN)
+    typ = np.repeat(np.rint(wk[:, 1]).astype(np.int32) - 1, NCHAN)
+    lon = np.repeat(wk[:, 2], NCHAN)
+    lat = np.repeat(wk[:, 3], NCHAN)
+    dat = wk[:, 4:].reshape(-1)
+    ch = np.tile(np.arange(1, NCHAN + 1, dtype=np.float64), nprof)
+    return Observations(
+        elem=elem, lon=lon, lat=lat, lev=ch + 6.0, dat=dat,
+        err=errs[(ch - 1).astype(int)], typ=typ,
+        dif=np.zeros(nprof * NCHAN))
+
+
+def write_obs_h08(path: str, obs: Observations, append: bool = False):
+    """Inverse of read_obs_h08: obs must hold nprof×nch H08 records in
+    channel-major order per profile (as produced by read/obsmake)."""
+    from scale_letkf_tpu.obs.h08 import NCHAN
+    if obs.nobs % NCHAN != 0:
+        raise ValueError("H08 obs count must be a multiple of nch")
+    nprof = obs.nobs // NCHAN
+    el = obs.elem.reshape(nprof, NCHAN)
+    ty = obs.typ.reshape(nprof, NCHAN)
+    lo = obs.lon.reshape(nprof, NCHAN)
+    la = obs.lat.reshape(nprof, NCHAN)
+    bt = obs.dat.reshape(nprof, NCHAN)
+    wk = np.concatenate([el[:, :1].astype(np.float32),
+                         (ty[:, :1] + 1).astype(np.float32),
+                         lo[:, :1], la[:, :1], bt], axis=1).astype(np.float32)
+    write_records(path, wk, append=append)
+
+
+# ---------------------------------------------------------------------------
 # obsda (ensemble H(x)) files — read_obs_da/write_obs_da (f90:2275,2311):
 # 4 sequential array records: set(int), idx(int), val(float), qc(int)
 # ---------------------------------------------------------------------------
 
 def write_obs_da(path: str, set_: np.ndarray, idx: np.ndarray,
-                 val: np.ndarray, qc: np.ndarray):
-    n = len(val)
+                 val: np.ndarray, qc: np.ndarray,
+                 lev: np.ndarray | None = None,
+                 val2: np.ndarray | None = None):
+    """Optional trailing lev/val2 records mirror the reference's H08 build
+    (wk(5)=lev sensitive pressure, wk(6)=val2 clear-sky BT; read/write_obs_da
+    under #ifdef H08, common_obs_scale.f90:2275-2352)."""
+    arrs = [(set_, np.int32), (idx, np.int32), (val, np.float32),
+            (qc, np.int32)]
+    if lev is not None:
+        arrs += [(lev, np.float32), (np.zeros_like(lev) if val2 is None
+                                     else val2, np.float32)]
     with open(path, "wb") as f:
-        for arr, dt in ((set_, np.int32), (idx, np.int32),
-                        (val, np.float32), (qc, np.int32)):
+        for arr, dt in arrs:
             a = np.ascontiguousarray(arr, dt)
             ln = np.asarray([a.nbytes], np.int32).tobytes()
             f.write(ln + a.tobytes() + ln)
 
 
 def read_obs_da(path: str, n: int):
+    """Returns (set, idx, val, qc[, lev, val2]) — the trailing pair only
+    when the file carries the H08 records."""
     raw = np.fromfile(path, dtype=np.uint8)
     out = []
     pos = 0
-    for dt in (np.int32, np.int32, np.float32, np.int32):
+    dts = (np.int32, np.int32, np.float32, np.int32, np.float32, np.float32)
+    for dt in dts:
+        if pos >= raw.size:
+            break
         ln = int(raw[pos:pos + 4].view(np.int32)[0])
         a = raw[pos + 4:pos + 4 + ln].copy().view(dt)
         out.append(a)
@@ -255,6 +310,8 @@ def read_obs_all(cfg: Config) -> list[Observations]:
             out.append(read_obs_radar(name))
         elif fmt.upper() == "PREPBUFR":
             out.append(read_obs(name, cfg))
+        elif fmt.upper() == "HIMAWARI8":
+            out.append(read_obs_h08(name, cfg))
         else:
             raise ValueError(f"unsupported obs format: {fmt}")
     return out

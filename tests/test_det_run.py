@@ -41,3 +41,23 @@ def test_det_member_updated():
     # all fields finite
     for a in info["det"]:
         assert np.isfinite(np.asarray(a)).all()
+
+
+def test_det_cycled_through_checkpoints(tmp_path):
+    """DET_RUN_CYCLED: a det member saved in a checkpoint survives
+    fcst -> letkf through the checkpoint layer (mdet member files)."""
+    from scale_letkf_tpu.io.checkpoint import (
+        save_ensemble, load_ensemble, load_det, filename_replace_mem)
+    grid, cfg, driver, s0 = make_driver()
+    truth, ens = make_truth_and_ensemble(s0, seed=5)
+    det = add_warm_bubble(s0, DZ, DX, DY, amplitude=3.0)
+
+    save_ensemble(tmp_path / "init", ens, det=det)
+    assert (tmp_path / "init" /
+            (filename_replace_mem("anal.@@@@", "mdet") + ".npz")).exists()
+    det_back = load_det(tmp_path / "init")
+    assert det_back is not None
+    np.testing.assert_allclose(det_back.rhot, np.asarray(det.rhot))
+    # checkpoints without a det member return None
+    save_ensemble(tmp_path / "nodet", ens)
+    assert load_det(tmp_path / "nodet") is None
