@@ -45,6 +45,9 @@ def load_config_and_grid(path: str):
     with open(path, "rb") as f:
         raw = tomllib.load(f)
     dom = raw.pop("domain", {})
+    phys = raw.pop("physics", None)
+    if phys is not None:
+        dom["physics"] = phys
     cfg = Config.from_dict(raw)
     proj = Projection(**dom.get("projection", {}))
     grid = Grid.uniform(
@@ -72,9 +75,20 @@ def make_driver(cfg, grid, dycfg, dom):
     topo = None
     if dom.get("topo_file"):
         topo = np.load(dom["topo_file"])["topo"]
+    phys_cfg = None
+    if "physics" in dom:
+        from scale_letkf_tpu.model.physics_suite import PhysicsConfig
+        import dataclasses
+        valid = {f.name for f in dataclasses.fields(PhysicsConfig)}
+        unknown = set(dom["physics"]) - valid
+        if unknown:
+            raise ValueError(
+                f"unknown [physics] keys: {sorted(unknown)} "
+                f"(valid: {sorted(valid)})")
+        phys_cfg = PhysicsConfig(**dom["physics"])
     return CycleDriver(grid, cfg, dycfg, rho_ref, p_ref,
                        use_physics=dom.get("use_physics", False),
-                       topo=topo)
+                       topo=topo, phys_cfg=phys_cfg)
 
 
 def read_obs_files(cfg, paths):

@@ -50,7 +50,7 @@ class CycleDriver:
 
     def __init__(self, grid: Grid, cfg: Config, dycfg: DycoreConfig,
                  rho_ref, p_ref, use_physics: bool = False,
-                 phys_interval: int = 5, topo=None):
+                 phys_interval: int = 5, topo=None, phys_cfg=None):
         self.grid = grid
         self.cfg = cfg
         self.dycfg = dycfg
@@ -66,13 +66,42 @@ class CycleDriver:
         self.z_centers = jnp.asarray(grid.cz, jnp.float32)
 
         def fcst_one(s: DycoreState, nsteps: int) -> DycoreState:
-            if not use_physics:
+            if not use_physics and phys_cfg is None:
                 return integrate(s, dycfg, rho_ref, p_ref, self.z_centers,
                                  nsteps)
-            # interleave microphysics every phys_interval dynamics steps
-            # (the reference's TIME_DT vs TIME_DT_ATMOS_PHY_MP split)
+            # interleave physics every phys_interval dynamics steps
+            # (the reference's TIME_DT vs TIME_DT_ATMOS_PHY_* split)
             chunk = min(phys_interval, nsteps)
             n_chunks, rem = divmod(nsteps, chunk)
+
+            if phys_cfg is not None:
+                # full suite: microphysics + surface/PBL + radiation
+                # (model/physics_suite.py). The skin temperature is
+                # re-initialized from the lowest-level air temperature at
+                # forecast start (slab state is not checkpointed).
+                from scale_letkf_tpu.model.physics_suite import (
+                    init_physics_state, physics_step)
+                phys = init_physics_state(s, dycfg.dz, phys_cfg)
+
+                def body(carry, i):
+                    c, ph = carry
+                    c = integrate(c, dycfg, rho_ref, p_ref,
+                                  self.z_centers, chunk)
+                    c, ph = physics_step(c, ph, i, phys_cfg,
+                                         dycfg.dt * chunk, dycfg.dz,
+                                         self.z_centers)
+                    return (c, ph), None
+
+                (s, phys), _ = jax.lax.scan(body, (s, phys),
+                                            jnp.arange(n_chunks))
+                if rem:
+                    s = integrate(s, dycfg, rho_ref, p_ref,
+                                  self.z_centers, rem)
+                    s, phys = physics_step(s, phys,
+                                           jnp.int32(n_chunks), phys_cfg,
+                                           dycfg.dt * rem, dycfg.dz,
+                                           self.z_centers)
+                return s
 
             def body(c, _):
                 c = integrate(c, dycfg, rho_ref, p_ref, self.z_centers,
