@@ -34,7 +34,8 @@ def _alarm(seconds: int):
     signal.alarm(seconds)
 
 
-def bench_tpu(B=10_000, L=30, K=8, n_lo=8, n_hi=208, reps=4):
+def bench_tpu(B=10_000, L=30, K=8, n_lo=8, n_hi=208, reps=4,
+              eigh_impl="jacobi"):
     """Throughput of the full transform. Timing is to-value (a device
     reduction is fetched, so asynchronous dispatch cannot fake the number)
     and LATENCY-COMPENSATED: each call runs a dependent in-device chain of
@@ -57,9 +58,13 @@ def bench_tpu(B=10_000, L=30, K=8, n_lo=8, n_hi=208, reps=4):
     @partial(jax.jit, static_argnums=6)
     def run(hdxb, rdiag, rloc, dep, infl, salt0, n):
         def body(carry, i):
-            res = letkf_core(hdxb, rdiag, rloc,
-                             dep + salt0 + 1e-6 * i.astype(jnp.float32),
-                             infl, infl_update=True)
+            # salt EVERY input that feeds the transform — in particular hdxb,
+            # so the Gram matrix + eigendecomposition (the dominant cost)
+            # cannot be hoisted out of the scan as loop-invariant
+            s = salt0 + 1e-6 * i.astype(jnp.float32)
+            res = letkf_core(hdxb * (1.0 + s), rdiag, rloc,
+                             dep + s,
+                             infl, infl_update=True, eigh_impl=eigh_impl)
             w = total_weight(res.trans, res.transm, jnp.ones_like(infl))
             return carry + w.sum() * 1e-6 + res.infl.sum() * 1e-6, None
         out, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
@@ -123,7 +128,10 @@ def main():
         # subprocess mode: measure the same batched pipeline on CPU
         import jax
         jax.config.update("jax_platforms", "cpu")
-        print(bench_tpu(n_lo=2, n_hi=12, reps=2))
+        # the CPU baseline keeps LAPACK eigh (lax) — the reference's own
+        # algorithm choice and the fastest backend on CPU; the MXU-native
+        # Jacobi backend is a TPU optimization
+        print(bench_tpu(n_lo=2, n_hi=12, reps=2, eigh_impl="lax"))
         return
 
     tpu_gps = None

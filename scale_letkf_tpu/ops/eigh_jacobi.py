@@ -64,26 +64,94 @@ def _round_rotation(a: jax.Array, p_idx: jax.Array, q_idx: jax.Array):
     return j
 
 
+def _angles(a, p_idx, q_idx):
+    """Stable Jacobi rotation (c, s) per pair, from the current A."""
+    app = a[..., p_idx, p_idx]
+    aqq = a[..., q_idx, q_idx]
+    apq = a[..., p_idx, q_idx]
+    tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) > 0, apq, 1.0))
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(jnp.abs(apq) > 0, t, 0.0)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    return c, t * c
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def _eigh_jacobi_rowcol(a: jax.Array, sweeps: int = 8):
+    """Row/column-update formulation: each round applies its K/2 disjoint
+    Givens rotations as elementwise row and column combinations instead of
+    K×K matmuls. O(K²) work per round instead of O(K³), and the work is
+    pure VPU elementwise math — at small K (the common ensemble sizes) the
+    matmul form wastes >99% of the MXU's 128×128 tile on 8×8 operands, so
+    this path is several times faster on TPU (measured on hardware)."""
+    K = a.shape[-1]
+    sched = _round_robin_schedule(K)           # (K-1, K/2, 2)
+    batch = a.shape[:-2]
+    v = jnp.broadcast_to(jnp.eye(K, dtype=a.dtype), batch + (K, K))
+
+    def one_sweep(carry, _):
+        a, v = carry
+        for r in range(K - 1):                 # static unroll: constant indices
+            p_idx, q_idx = sched[r, :, 0], sched[r, :, 1]
+            c, s = _angles(a, p_idx, q_idx)
+            cr, sr = c[..., None], s[..., None]
+            # A ← JᵀA (rows), then ·J (columns); V ← V·J (columns)
+            ap, aq = a[..., p_idx, :], a[..., q_idx, :]
+            a = a.at[..., p_idx, :].set(cr * ap - sr * aq)
+            a = a.at[..., q_idx, :].set(sr * ap + cr * aq)
+            cc, sc = c[..., None, :], s[..., None, :]
+            ap, aq = a[..., :, p_idx], a[..., :, q_idx]
+            a = a.at[..., :, p_idx].set(cc * ap - sc * aq)
+            a = a.at[..., :, q_idx].set(sc * ap + cc * aq)
+            vp, vq = v[..., :, p_idx], v[..., :, q_idx]
+            v = v.at[..., :, p_idx].set(cc * vp - sc * vq)
+            v = v.at[..., :, q_idx].set(sc * vp + cc * vq)
+        a = 0.5 * (a + jnp.swapaxes(a, -1, -2))
+        return (a, v), None
+
+    (a_f, v_f), _ = jax.lax.scan(one_sweep, (a, v), None, length=sweeps)
+    w = jnp.diagonal(a_f, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w_sorted = jnp.take_along_axis(w, order, axis=-1)
+    v_sorted = jnp.take_along_axis(v_f, order[..., None, :], axis=-1)
+    return w_sorted, v_sorted
+
+
+# Below this size the row/col form wins (elementwise, no MXU involvement);
+# above it the matmul form's MXU tiles are well-filled and its fewer, larger
+# kernels win.
+_ROWCOL_MAX_K = 64
+
+
 @partial(jax.jit, static_argnames=("sweeps",))
 def eigh_jacobi(a: jax.Array, sweeps: int = 8):
     """Batched symmetric eigendecomposition. a: (..., K, K) symmetric.
 
     Returns (eigenvalues ascending (..., K), eigenvectors (..., K, K)) with
     A = V diag(w) Vᵀ (columns are eigenvectors), matching jnp.linalg.eigh.
+    Dispatches between the row/col-update form (small K) and the batched
+    matmul form (large K, MXU-bound).
     """
     K = a.shape[-1]
+    if K <= _ROWCOL_MAX_K:
+        return _eigh_jacobi_rowcol(a, sweeps=sweeps)
     sched = _round_robin_schedule(K)           # (K-1, K/2, 2)
     sched_j = jnp.asarray(sched)
     batch = a.shape[:-2]
     v0 = jnp.broadcast_to(jnp.eye(K, dtype=a.dtype), batch + (K, K))
 
+    # The rotation products MUST run at full float32 precision: the TPU MXU's
+    # default bf16 passes put a ~1e-2 floor on the eigenvector accuracy
+    # (measured on hardware), independent of sweep count.
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
     def one_round(carry, pairs):
         a_c, v_c = carry
         j = _round_rotation(a_c, pairs[:, 0], pairs[:, 1])
-        a_n = jnp.swapaxes(j, -1, -2) @ a_c @ j
+        a_n = mm(mm(jnp.swapaxes(j, -1, -2), a_c), j)
         # re-symmetrize to keep float roundoff from accumulating
         a_n = 0.5 * (a_n + jnp.swapaxes(a_n, -1, -2))
-        v_n = v_c @ j
+        v_n = mm(v_c, j)
         return (a_n, v_n), None
 
     def one_sweep(carry, _):

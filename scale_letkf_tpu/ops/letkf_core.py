@@ -74,7 +74,8 @@ def letkf_core(
 
     # Gram matrix C = hdxb^T R^{-1} hdxb + (K-1)/ρ I  (common_letkf.f90:127-143)
     gram = jnp.einsum("...lk,...lj->...kj", hdxb_rinv, hdxb,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)
     shift = km1 / parm_infl[..., None]
     gram = gram + shift[..., None] * jnp.eye(K, dtype=dtype)
 
@@ -88,27 +89,33 @@ def letkf_core(
     # Pa = V Λ^{-1} V^T   (common_letkf.f90:151-157)
     v_over_l = eivec / eival[..., None, :]
     pao = jnp.einsum("...ik,...jk->...ij", v_over_l, eivec,
-                     preferred_element_type=dtype)
+                     preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
     # Mean weight w̄ = Pa (HδX)^T R^{-1} d   (common_letkf.f90:169-187)
     # Contract obs dimension first: t = hdxb_rinv^T dep is (..., K), then Pa t.
     t = jnp.einsum("...lk,...l->...k", hdxb_rinv, dep,
-                   preferred_element_type=dtype)
+                   preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)
     transm = jnp.einsum("...ij,...j->...i", pao, t,
-                        preferred_element_type=dtype)
+                        preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
     if depd is not None:
         td = jnp.einsum("...lk,...l->...k", hdxb_rinv, depd,
-                        preferred_element_type=dtype)
+                        preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)
         transmd = jnp.einsum("...ij,...j->...i", pao, td,
-                             preferred_element_type=dtype)
+                             preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)
     else:
         transmd = jnp.zeros_like(transm)
 
     # Sqrt transform W = V sqrt((K-1) Λ^{-1}) V^T  (common_letkf.f90:199-206)
     v_sqrt = eivec * jnp.sqrt(km1 / eival)[..., None, :]
     trans = jnp.einsum("...ik,...jk->...ij", v_sqrt, eivec,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
     # Adaptive multiplicative inflation estimate (Miyoshi 2011 innovation
     # statistics with a scalar KF; common_letkf.f90:233-254). Guarded for the
@@ -159,7 +166,8 @@ def apply_weights(
 ) -> jax.Array:
     """Analysis ensemble  xa_m = x̄ + Σ_k Xb'_k W'_{km}  (letkf_tools.f90:480-487)."""
     upd = jnp.einsum("...k,...km->...m", pert, w_total,
-                     preferred_element_type=pert.dtype)
+                     preferred_element_type=pert.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
     return mean[..., None] + upd
 
 
@@ -189,7 +197,8 @@ def weight_rtps(
     K = trans.shape[-1]
     var_g = jnp.sum(xb * xb, axis=-1)
     pa_xb = jnp.einsum("...ij,...j->...i", pao, xb,
-                       preferred_element_type=xb.dtype)
+                       preferred_element_type=xb.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     var_a = jnp.sum(xb * pa_xb, axis=-1)
     safe = (var_g > 0) & (var_a > 0)
     ratio = var_g * infl / (jnp.where(safe, var_a, 1.0) * (K - 1))
