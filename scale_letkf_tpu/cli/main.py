@@ -86,9 +86,30 @@ def make_driver(cfg, grid, dycfg, dom):
                 f"unknown [physics] keys: {sorted(unknown)} "
                 f"(valid: {sorted(valid)})")
         phys_cfg = PhysicsConfig(**dom["physics"])
+    mesh = None
+    pc = cfg.process
+    if pc.mesh_member * pc.mesh_y * pc.mesh_x > 1:
+        from scale_letkf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(pc.mesh_member, pc.mesh_y, pc.mesh_x)
     return CycleDriver(grid, cfg, dycfg, rho_ref, p_ref,
                        use_physics=dom.get("use_physics", False),
-                       topo=topo, phys_cfg=phys_cfg)
+                       topo=topo, phys_cfg=phys_cfg, mesh=mesh)
+
+
+def load_addi_ens(cfg, dirpath):
+    """Additive-inflation source ensemble in analysis variables (the
+    INFL_ADD_IN_BASENAME read, common_mpi_scale.f90:1163-1202); required
+    when INFL_ADD > 0."""
+    if cfg.letkf.infl_add <= 0:
+        return None
+    import jax
+    import jax.numpy as jnp
+    from scale_letkf_tpu.io.checkpoint import load_ensemble
+    from scale_letkf_tpu.model.dycore import DycoreState, to_collocated
+    from scale_letkf_tpu.state import state_trans
+    addi, _, _ = load_ensemble(dirpath, basename=cfg.letkf.infl_add_in_basename)
+    addi = DycoreState(*(jnp.asarray(a) for a in addi))
+    return state_trans(jax.vmap(to_collocated)(addi))
 
 
 def read_obs_files(cfg, paths):
@@ -140,13 +161,19 @@ def cmd_letkf(args):
         lev = np.stack(levs).mean(axis=0) if levs else None
         precomputed = (np.stack(vals), np.stack(qcs).max(axis=0), lev)
 
+    addi = load_addi_ens(cfg, args.addi or args.gues)
     ens_a, info = driver.analysis(ens, obs, infl_field=infl, det=det,
-                                  precomputed_hx=precomputed)
+                                  precomputed_hx=precomputed, addi_ens=addi,
+                                  rng=np.random.default_rng(args.seed))
     print(info["stats_gues"].format("O-B"))
     print(info["stats_anal"].format("O-A"))
     aux_out = {}
     if info["diag"].infl_field is not None:
         aux_out["infl"] = info["diag"].infl_field
+    if info["diag"].rtps_field is not None:
+        aux_out["rtps"] = info["diag"].rtps_field
+    if info["diag"].nobs_field is not None:
+        aux_out["nobs"] = info["diag"].nobs_field
     # mean/spread outputs (GUES_SPRD_OUT/ANAL_SPRD_OUT semantics)
     aux_out["anal_mean"] = np.asarray(ensemble_mean(info["anal"]))
     aux_out["anal_sprd"] = np.asarray(ensemble_spread(info["anal"]))
@@ -301,12 +328,15 @@ def cmd_cycle(args):
     if det is not None:
         det = DycoreState(*(jnp.asarray(a) for a in det))
     infl = aux.get("infl")
+    addi = load_addi_ens(cfg, args.init)
+    rng = np.random.default_rng(0)
     for c in range(args.cycles):
         ens = driver.forecast(ens, args.steps_per_cycle)
         if det is not None:
             det = driver.forecast_one(det, args.steps_per_cycle)
         obs = read_obs_files(cfg, [args.obs_pattern.format(cycle=c)])
-        ens, info = driver.analysis(ens, obs, infl_field=infl, det=det)
+        ens, info = driver.analysis(ens, obs, infl_field=infl, det=det,
+                                    addi_ens=addi, rng=rng)
         if det is not None:
             det = info["det"]
         if info["diag"].infl_field is not None:
@@ -331,6 +361,11 @@ def main(argv=None):
     q.add_argument("--anal", required=True)
     q.add_argument("--obsda", default=None,
                    help="read precomputed H(x) files (basename with @@@@)")
+    q.add_argument("--addi", default=None,
+                   help="directory with the additive-inflation ensemble "
+                        "(INFL_ADD_IN_BASENAME files; default: --gues dir)")
+    q.add_argument("--seed", type=int, default=0,
+                   help="RNG seed (INFL_ADD_SHUFFLE)")
     q.set_defaults(fn=cmd_letkf)
 
     q = sub.add_parser("obsope", help="observation operator")

@@ -80,6 +80,7 @@ class LetkfConfig:
     infl_mul_adaptive: bool = False
     # additive inflation
     infl_add: float = 0.0
+    infl_add_in_basename: str = "addi.@@@@"  # INFL_ADD_IN_BASENAME (common_nml.f90:117)
     infl_add_shuffle: bool = False
     infl_add_q_ratio: bool = False
     infl_add_ref_only: bool = False
@@ -103,6 +104,10 @@ class LetkfConfig:
     boundary_buffer_width: float = 0.0   # m
     ps_adjust_thres: float = 100.0
     nobs_out: bool = False
+    # eigensolver backend for the batched K×K transform (framework knob, no
+    # reference analogue): 'lax' = jnp.linalg.eigh; 'jacobi' = MXU-native
+    # parallel Jacobi (ops/eigh_jacobi.py), faster at large K on TPU
+    eigh_impl: str = "lax"
 
     def gross_thresh(self, kind: str) -> float:
         v = {

@@ -50,13 +50,15 @@ class CycleDriver:
 
     def __init__(self, grid: Grid, cfg: Config, dycfg: DycoreConfig,
                  rho_ref, p_ref, use_physics: bool = False,
-                 phys_interval: int = 5, topo=None, phys_cfg=None):
+                 phys_interval: int = 5, topo=None, phys_cfg=None,
+                 mesh=None):
         self.grid = grid
         self.cfg = cfg
         self.dycfg = dycfg
         self.rho_ref = rho_ref
         self.p_ref = p_ref
         self.use_physics = use_physics
+        self.mesh = mesh
         self.timer = Timer()
         # prepared topography (read_topo equivalent, common_scale.f90:785)
         topo = jnp.zeros((grid.ny, grid.nx)) if topo is None \
@@ -115,9 +117,17 @@ class CycleDriver:
                 s = kessler_step(s, dycfg.dt * rem, dycfg.dz)
             return s
 
+        def fcst_ens(ens: DycoreState, nsteps: int) -> DycoreState:
+            if self.mesh is not None:
+                from scale_letkf_tpu.parallel.mesh import constrain_ensemble
+                ens = constrain_ensemble(self.mesh, ens)
+            out = jax.vmap(fcst_one, in_axes=(0, None))(ens, nsteps)
+            if self.mesh is not None:
+                out = constrain_ensemble(self.mesh, out)
+            return out
+
         self._fcst_one = fcst_one
-        self._fcst_ens = jax.jit(jax.vmap(fcst_one, in_axes=(0, None)),
-                                 static_argnums=1)
+        self._fcst_ens = jax.jit(fcst_ens, static_argnums=1)
 
     # -- forecast step (scale-rm_ens equivalent) --
     def forecast(self, ens: DycoreState, nsteps: int) -> DycoreState:
@@ -132,20 +142,25 @@ class CycleDriver:
     # -- analysis step (obsope + letkf equivalents) --
     def analysis(self, ens: DycoreState, obs: Observations,
                  infl_field=None, det: DycoreState | None = None,
-                 precomputed_hx=None):
+                 precomputed_hx=None, addi_ens=None,
+                 rng: np.random.Generator | None = None):
         """Returns (analysis DycoreState ensemble, diagnostics dict).
 
         `det` is the optional deterministic member (DET_RUN,
         common_nml.f90:46): it receives the mean-update weights transmd
         (letkf_tools.f90:489-497) and is returned under key 'det'.
         `precomputed_hx` is an optional (ensval (K,nobs), qc (nobs,)) pair
-        from a separate obsope run (the OBSDA_IN path, common_nml.f90:95)."""
+        from a separate obsope run (the OBSDA_IN path, common_nml.f90:95).
+        `addi_ens` is the additive-inflation source ensemble in analysis
+        variables (K, NV3D, nz, ny, nx) — required when INFL_ADD > 0
+        (reference INFL_ADD_IN_BASENAME files, common_nml.f90:117)."""
         cfg = self.cfg
-        with self.timer.section("state_trans"):
+        with self.timer.section("state_trans") as ts:
             restart = jax.vmap(to_collocated)(ens)       # (K, NV3D, nz, ny, nx)
             gues = state_trans(restart)
             gues_det = (state_trans(to_collocated(det))
                         if det is not None else None)
+            ts.sync_on = gues
 
         with self.timer.section("obsope"):
             if precomputed_hx is not None:
@@ -177,10 +192,12 @@ class CycleDriver:
             anal, anal_det, diag = analyze(gues, ctx, cfg, self.grid,
                                            self.z_full,
                                            infl_field=infl_field,
-                                           gues_det=gues_det)
+                                           gues_det=gues_det,
+                                           mesh=self.mesh,
+                                           addi_ens=addi_ens, rng=rng)
             jax.block_until_ready(anal)
 
-        with self.timer.section("state_trans_inv"):
+        with self.timer.section("state_trans_inv") as ti:
             anal_restart = state_trans_inv(
                 anal,
                 positive_definite_q=cfg.letkf.positive_definite_q,
@@ -191,6 +208,7 @@ class CycleDriver:
                 positive_definite_q=cfg.letkf.positive_definite_q,
                 positive_definite_qhyd=cfg.letkf.positive_definite_qhyd))
                 if anal_det is not None else None)
+            ti.sync_on = ens_out
 
         # O−A statistics from the analysis mean. Use the PREPROCESSED obs
         # values (ctx.dat): radar reflectivity was converted to dBZ by

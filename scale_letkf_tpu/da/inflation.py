@@ -32,16 +32,39 @@ def radar_proximity_weight(
     gp_x: np.ndarray, gp_y: np.ndarray,      # (B,) gridpoint coords
     ref_x: np.ndarray, ref_y: np.ndarray,    # radar-reflectivity obs coords
     hori_scale: float,
+    buckets=None,                            # optional BucketGrid (GLOBAL ids)
+    obs_x_all: np.ndarray | None = None,     # global obs coords when buckets
+    obs_y_all: np.ndarray | None = None,     # carry global indices
 ) -> np.ndarray:
     """INFL_ADD_REF_ONLY weight: Gaussian of distance to the nearest radar
     reflectivity obs, zero beyond the localization cutoff
-    (letkf_tools.f90:814-836)."""
+    (letkf_tools.f90:814-836).
+
+    With `buckets` (the ctype's BucketGrid, spacing >= cutoff) the search is
+    capacity-bounded via the 3×3 bucket neighborhood — exact, because any obs
+    within the cutoff disc lies in those cells; without it the dense
+    O(B·nobs) pairwise form is used (fine at small obs counts)."""
     if len(ref_x) == 0:
         return np.zeros(len(gp_x))
-    d2 = ((gp_x[:, None] - ref_x[None, :]) ** 2
-          + (gp_y[:, None] - ref_y[None, :]) ** 2).min(axis=1)
-    nd2 = d2 / (hori_scale * hori_scale)
-    w = np.exp(-0.5 * nd2)
+    if buckets is not None:
+        from scale_letkf_tpu.ops.obs_select import gather_candidates
+        import jax.numpy as jnp
+        ox = np.asarray(obs_x_all if obs_x_all is not None else ref_x)
+        oy = np.asarray(obs_y_all if obs_y_all is not None else ref_y)
+        cand = gather_candidates(buckets, jnp.asarray(gp_x),
+                                 jnp.asarray(gp_y))
+        c = np.asarray(cand)
+        valid = c >= 0
+        safe = np.maximum(c, 0)
+        d2 = ((gp_x[:, None] - ox[safe]) ** 2
+              + (gp_y[:, None] - oy[safe]) ** 2)
+        d2[~valid] = np.inf
+        nd2 = d2.min(axis=1) / (hori_scale * hori_scale)
+    else:
+        d2 = ((gp_x[:, None] - ref_x[None, :]) ** 2
+              + (gp_y[:, None] - ref_y[None, :]) ** 2).min(axis=1)
+        nd2 = d2 / (hori_scale * hori_scale)
+    w = np.exp(-0.5 * np.minimum(nd2, 700.0))
     w[nd2 > DIST_ZERO_FAC_SQ] = 0.0
     return w
 

@@ -2,29 +2,44 @@
 
 Equivalent of `das_letkf` (reference: scale/letkf/letkf_tools.f90:50-932) —
 but where the reference loops (ilev, ij) gridpoints under OpenMP and calls
-scalar letkf_core per point, this driver runs one jitted computation per
-level over ALL horizontal points at once:
+scalar letkf_core per point, this driver runs ONE jitted computation: a
+`lax.scan` over vertical levels whose body updates all horizontal points of
+one level at once:
 
   per level: per-ctype candidate weights (vectorized obs_local_cal)
              → obs-number limit (top_k)
-             → gather (dep, hdxb)
-             → batched K×K letkf_core (eigh over the whole level)
+             → ONE gather of (dep, hdxb) shared by all var-local groups
+             → batched K×K letkf_core per var-local group (the reference's
+               var_local_n2n dedup, letkf_tools.f90:129-163, is exact here:
+               the candidate selection is provably group-independent, so
+               groups differ only by a per-slot multiplicative factor)
              → RTPP/RTPS relaxation, boundary β damping, weight application
-             → q-spread limiter, Q_UPDATE_TOP masking
+             → deterministic-member update
+  post:      q-spread limiter, Q_UPDATE_TOP masking, additive inflation
 
-The level loop is a Python loop over a jitted per-level function (weights
-differ per level only through the vertical coordinate; candidate gathers are
-reused across levels).
+Var-local dedup correctness: the selection (distance rejection + top-k) uses
+rloc computed with factor 1. Within one ctype the var-local factor is a
+single constant, so scaling rloc (criterion 2) or rdiag (criterion 3) by it
+never changes the per-ctype top-k ordering, and criterion 1 (distance) is
+factor-free; a factor of 0 removes the ctype entirely, which we reproduce by
+zeroing (rloc, dep, hdxb) after the shared gather.
+
+Multi-device: pass `mesh` (the (member, dy, dx) jax Mesh) and every per-level
+batch array is constrained to the gridpoint sharding — the LETKF "ensemble
+transpose" of the reference (scatter_grd_mpi_alltoall,
+common_mpi_scale.f90:1279) becomes a GSPMD resharding from the member-sharded
+forecast layout to gridpoint-sharded analysis batches.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from scale_letkf_tpu.config import Config
 from scale_letkf_tpu.grid import Grid
@@ -35,7 +50,6 @@ from scale_letkf_tpu.ops.letkf_core import (
 from scale_letkf_tpu.ops.obs_select import (
     gather_candidates, local_weights, limit_obs_topk, gather_obs_data,
 )
-from scale_letkf_tpu.ops.localization import DIST_ZERO_FAC
 from scale_letkf_tpu.state import IA_P, IA_Q0, NQ, NV3D
 
 
@@ -43,48 +57,299 @@ from scale_letkf_tpu.state import IA_P, IA_Q0, NQ, NV3D
 class AnalysisDiag:
     nobs_per_level: np.ndarray       # (nz,) mean local obs count
     infl_field: np.ndarray | None    # updated adaptive inflation (nz, ny, nx)
-    rtps_field: np.ndarray | None
+    rtps_field: np.ndarray | None    # (NV3D, nz, ny, nx) RTPS factor
+                                     # (RELAX_SPREAD_OUT, letkf_tools.f90:735)
     nobs_field: np.ndarray | None = None  # (nz, ny, nx) local obs counts
                                           # (NOBS_OUT, letkf_tools.f90:763-798)
 
 
-def _level_weights(ctx: ObsContext, cand_list, gp_x, gp_y, logp_lev, z_lev,
-                   cfg: Config, dtype, vl_factors=None):
-    """Per-ctype candidate weights at one level → concatenated
-    (idx, rloc, rdiag) of fixed total width.
+@dataclass(frozen=True)
+class _CtypePlan:
+    """Static per-combined-type selection parameters."""
+    hori_scale: float
+    vert_scale: float
+    vert_is_z: bool
+    max_nobs: int
 
-    vl_factors: optional per-ctype variable-localization factors (the
-    var_local(nvar, obsgroup) multiplier of obs_local_cal,
-    letkf_tools.f90:1837-1846); a factor of 0 rejects the ctype."""
-    obs_x = jnp.asarray(ctx.x, dtype)
-    obs_y = jnp.asarray(ctx.y, dtype)
-    obs_vert = jnp.asarray(ctx.vert, dtype)
-    obs_err = jnp.asarray(ctx.err, dtype)
 
-    idx_all, rloc_all, rdiag_all = [], [], []
-    for ic, (ct, cand) in enumerate(zip(ctx.ctypes, cand_list)):
-        fac = 1.0 if vl_factors is None else float(vl_factors[ic])
-        gp_vert = z_lev if ct.vert_kind == "z" else logp_lev
-        nd2, rloc, rdiag = local_weights(
-            cand, obs_x, obs_y, obs_vert, obs_err,
-            gp_x, gp_y, gp_vert, ct.hori_scale, ct.vert_scale,
-            var_local_factor=fac)
-        if fac <= 0.0:
-            rloc = jnp.zeros_like(rloc)
-            rdiag = jnp.ones_like(rdiag)
-        if ct.max_nobs > 0:
-            idx_k, rloc_k, rdiag_k = limit_obs_topk(
-                cand, nd2, rloc, rdiag, ct.max_nobs,
-                cfg.letkf_obs.max_nobs_per_grid_criterion)
-        else:
-            idx_k = jnp.where(rloc > 0, cand, -1)
-            rloc_k, rdiag_k = rloc, rdiag
-        idx_all.append(idx_k)
-        rloc_all.append(rloc_k)
-        rdiag_all.append(rdiag_k)
-    return (jnp.concatenate(idx_all, axis=-1),
-            jnp.concatenate(rloc_all, axis=-1),
-            jnp.concatenate(rdiag_all, axis=-1))
+@dataclass(frozen=True)
+class _Plan:
+    """Everything statically shaping the compiled analysis (hashable: it is
+    the jit-cache key together with the mesh and array shapes)."""
+    ctypes: tuple[_CtypePlan, ...]
+    group_vars: tuple[tuple[int, ...], ...]     # model vars per var-local group
+    group_factors: tuple[tuple[float, ...], ...]  # per group, per ctype
+    criterion: int
+    adaptive: bool
+    min_infl: float
+    relax_alpha: float
+    relax_alpha_spread: float
+    relax_to_inflated_prior: bool
+    relax_spread_out: bool
+    boundary_buffer_width: float
+    q_update_top: float
+    q_sprd_max: float
+    has_det: bool
+    has_depd: bool
+    eigh_impl: str
+
+
+def _gp_spec(ndim: int) -> P:
+    """PartitionSpec sharding the LAST axis over all mesh axes (the
+    gridpoint-major 'ensemble transpose' layout)."""
+    return P(*([None] * (ndim - 1) + [("member", "dy", "dx")]))
+
+
+@lru_cache(maxsize=32)
+def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
+    """Compile-cached analysis function for one (plan, mesh)."""
+
+    def gp(a):
+        if mesh is None or a is None:
+            return a
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, _gp_spec(a.ndim)))
+
+    def repl(a):
+        if mesh is None or a is None:
+            return a
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, P()))
+
+    def fn(pert_zkvb,           # (nz, K, nv, B)
+           mean_zvb,            # (nz, nv, B)
+           infl0_zb,            # (nz, B)
+           logp_zb, z_zb,       # (nz, B)
+           gp_x, gp_y,          # (B,)
+           dist_bdy,            # (B,) distance to lateral boundary
+           cand,                # tuple of (B, C_ct) int32 candidate tables
+           obs_x, obs_y, obs_vert, obs_err,   # (nobs,)
+           dep_g,               # (nobs,)
+           hdxb_g,              # (nobs, K)
+           depd_g,              # (nobs,) or None
+           pert_det_zvb,        # (nz, nv, B) or None
+           mean_det_zvb):       # (nz, nv, B) or None
+        dtype = pert_zkvb.dtype
+        nz, K, nv, B = pert_zkvb.shape
+
+        pert_zkvb = gp(pert_zkvb)
+        mean_zvb = gp(mean_zvb)
+        infl0_zb = gp(infl0_zb)
+        logp_zb = gp(logp_zb)
+        z_zb = gp(z_zb)
+        gp_x, gp_y, dist_bdy = gp(gp_x), gp(gp_y), gp(dist_bdy)
+        cand = tuple(gp(c) for c in cand)
+        obs_x, obs_y = repl(obs_x), repl(obs_y)
+        obs_vert, obs_err = repl(obs_vert), repl(obs_err)
+        dep_g, hdxb_g = repl(dep_g), repl(hdxb_g)
+        depd_g = repl(depd_g)
+        pert_det_zvb = gp(pert_det_zvb)
+        mean_det_zvb = gp(mean_det_zvb)
+
+        def level_body(carry, xs):
+            (pert_l, mean_l, infl_l, logp_l, z_l,
+             pert_det_l, mean_det_l) = xs
+            pert_l = gp(pert_l)
+
+            if plan.boundary_buffer_width > 0:
+                beta = relax_beta(dist_bdy, z_l,
+                                  buffer_width=plan.boundary_buffer_width)
+            else:
+                beta = jnp.ones(B, dtype)
+
+            # --- shared local-obs selection (factor-1 weights + top-k)
+            idx_parts, rloc_parts, rdiag_parts = [], [], []
+            for ic, cp in enumerate(plan.ctypes):
+                gp_vert = z_l if cp.vert_is_z else logp_l
+                nd2, rloc, rdiag = local_weights(
+                    cand[ic], obs_x, obs_y, obs_vert, obs_err,
+                    gp_x, gp_y, gp_vert, cp.hori_scale, cp.vert_scale)
+                if cp.max_nobs > 0:
+                    idx_k, rloc_k, rdiag_k = limit_obs_topk(
+                        cand[ic], nd2, rloc, rdiag, cp.max_nobs,
+                        plan.criterion)
+                else:
+                    idx_k = jnp.where(rloc > 0, cand[ic], -1)
+                    rloc_k, rdiag_k = rloc, rdiag
+                idx_parts.append(idx_k)
+                rloc_parts.append(rloc_k)
+                rdiag_parts.append(rdiag_k)
+            if idx_parts:
+                idx = gp(jnp.concatenate(idx_parts, axis=-1))
+                rloc0 = gp(jnp.concatenate(rloc_parts, axis=-1))
+                rdiag0 = gp(jnp.concatenate(rdiag_parts, axis=-1))
+                widths = [p.shape[-1] for p in idx_parts]
+            else:   # no usable obs types: one all-padded slot
+                idx = jnp.full((B, 1), -1, jnp.int32)
+                rloc0 = jnp.zeros((B, 1), dtype)
+                rdiag0 = jnp.ones((B, 1), dtype)
+                widths = [1]
+
+            # ONE gather shared by every var-local group
+            dep_l, hdxb_l = gather_obs_data(idx, dep_g, hdxb_g)
+            dep_l, hdxb_l = gp(dep_l), gp(hdxb_l)
+            if plan.has_depd:
+                depd_l, _ = gather_obs_data(idx, depd_g, hdxb_g)
+            else:
+                depd_l = None
+            nobs_pt = jnp.sum(rloc0 > 0, axis=-1)
+
+            pert_vbk = jnp.transpose(pert_l, (1, 2, 0))   # (nv, B, K)
+            parm = infl_l if plan.relax_to_inflated_prior \
+                else jnp.ones_like(infl_l)
+
+            anal_parts = [None] * nv
+            det_parts = [None] * nv
+            rtps_parts = [None] * nv
+            infl_out = infl_l
+
+            for g, vidx in enumerate(plan.group_vars):
+                facs = plan.group_factors[g] if plan.group_factors else ()
+                if facs and any(f != 1.0 for f in facs):
+                    fac_np = np.concatenate(
+                        [np.full(w, f, np.float64)
+                         for w, f in zip(widths, facs)])
+                    fac = jnp.asarray(fac_np, dtype)
+                    rloc_g = rloc0 * fac
+                    sel = rloc_g > 0
+                    rdiag_g = jnp.where(sel, rdiag0 / jnp.maximum(fac, 1e-30),
+                                        1.0)
+                    dep_gm = jnp.where(sel, dep_l, 0.0)
+                    hdxb_gm = jnp.where(sel[..., None], hdxb_l, 0.0)
+                    depd_gm = (jnp.where(sel, depd_l, 0.0)
+                               if depd_l is not None else None)
+                else:
+                    rloc_g, rdiag_g = rloc0, rdiag0
+                    dep_gm, hdxb_gm, depd_gm = dep_l, hdxb_l, depd_l
+
+                res = letkf_core(hdxb_gm, rdiag_g, rloc_g, dep_gm, infl_l,
+                                 rdiag_wloc=True,
+                                 infl_update=plan.adaptive and g == 0,
+                                 depd=depd_gm,
+                                 min_infl=max(plan.min_infl, 0.0),
+                                 eigh_impl=plan.eigh_impl)
+                if g == 0:
+                    infl_out = res.infl
+
+                pert_g = pert_vbk[np.asarray(vidx)]       # (nvg, B, K)
+                if plan.relax_alpha != 0.0:
+                    trans_rlx = weight_rtpp(res.trans, parm, plan.relax_alpha)
+                    w_tot = total_weight(trans_rlx, res.transm, beta)
+                    anal_g = mean_l[np.asarray(vidx)][..., None] + jnp.einsum(
+                        "vbk,bkm->vbm", pert_g, w_tot,
+                        preferred_element_type=dtype)
+                    m_g = jnp.ones((len(vidx), B), dtype)
+                elif plan.relax_alpha_spread != 0.0:
+                    # RTPS is per-variable (xb = that variable's perturbations)
+                    trans_all, m_g = jax.vmap(
+                        lambda xb: weight_rtps(res.trans, res.pao, xb, parm,
+                                               plan.relax_alpha_spread))(
+                        pert_g)
+                    w_tots = jax.vmap(
+                        lambda tv: total_weight(tv, res.transm, beta))(
+                        trans_all)
+                    anal_g = mean_l[np.asarray(vidx)][..., None] + jnp.einsum(
+                        "vbk,vbkm->vbm", pert_g, w_tots,
+                        preferred_element_type=dtype)
+                else:
+                    w_tot = total_weight(res.trans, res.transm, beta)
+                    anal_g = mean_l[np.asarray(vidx)][..., None] + jnp.einsum(
+                        "vbk,bkm->vbm", pert_g, w_tot,
+                        preferred_element_type=dtype)
+                    m_g = jnp.ones((len(vidx), B), dtype)
+
+                for j, v in enumerate(vidx):
+                    anal_parts[int(v)] = anal_g[j]
+                    rtps_parts[int(v)] = m_g[j]
+
+                if plan.has_det:
+                    incr = jnp.einsum("vbk,bk->vb", pert_g, res.transmd,
+                                      preferred_element_type=dtype)
+                    det_g = mean_det_l[np.asarray(vidx)] + incr * beta[None]
+                    for j, v in enumerate(vidx):
+                        det_parts[int(v)] = det_g[j]
+
+            anal_l = jnp.stack(anal_parts, axis=0)        # (nv, B, K)
+            rtps_l = jnp.stack(rtps_parts, axis=0)        # (nv, B)
+            det_l = (jnp.stack(det_parts, axis=0)
+                     if plan.has_det else jnp.zeros((1, 1), dtype))
+            return carry, (anal_l, infl_out, nobs_pt, det_l, rtps_l)
+
+        xs = (pert_zkvb, mean_zvb, infl0_zb, logp_zb, z_zb,
+              pert_det_zvb if plan.has_det else jnp.zeros((nz, 1, 1), dtype),
+              mean_det_zvb if plan.has_det else jnp.zeros((nz, 1, 1), dtype))
+        _, (anal_z, infl_z, nobs_z, det_z, rtps_z) = jax.lax.scan(
+            level_body, 0.0, xs)
+
+        anal = jnp.transpose(anal_z, (3, 1, 0, 2))        # (K, nv, nz, B)
+        mean_p = mean_zvb[:, IA_P]                        # (nz, B)
+
+        # Q_UPDATE_TOP: keep the first guess for moisture above the level
+        # where mean p < Q_UPDATE_TOP (letkf_tools.f90:371)
+        if plan.q_update_top > 0:
+            gues_full = mean_zvb[None].transpose(0, 2, 1, 3) + \
+                pert_zkvb.transpose(1, 2, 0, 3)           # (K, nv, nz, B)
+            qmask = (mean_p < plan.q_update_top)[None, None]
+            var_is_q = jnp.arange(nv)[None, :, None, None] >= IA_Q0
+            anal = jnp.where(qmask & var_is_q, gues_full, anal)
+
+        # q-spread limiter (letkf_tools.f90:500-513)
+        if plan.q_sprd_max > 0:
+            q = anal[:, IA_Q0]
+            q_mean = jnp.mean(q, axis=0)
+            q_pert = q - q_mean[None]
+            q_sprd = jnp.sqrt(jnp.sum(q_pert**2, axis=0) / (K - 1)) \
+                / jnp.maximum(jnp.abs(q_mean), 1e-30)
+            scale = jnp.where(
+                q_sprd > plan.q_sprd_max,
+                plan.q_sprd_max / jnp.maximum(q_sprd, 1e-30), 1.0)
+            anal = anal.at[:, IA_Q0].set(q_mean[None] + q_pert * scale[None])
+
+        return anal, infl_z, nobs_z, det_z, rtps_z
+
+    return jax.jit(fn)
+
+
+def _make_plan(ctx: ObsContext, cfg: Config, nv: int,
+               has_det: bool) -> _Plan:
+    """Derive the static analysis plan from the obs context + config."""
+    # variable-localization groups: model variables sharing the same column
+    # of the var_local table share one transform (var_local_n2n dedup,
+    # letkf_tools.f90:129-163)
+    vl_table = cfg.var_local.table(nv)            # (9, nv)
+    cols = [tuple(float(x) for x in vl_table[:, v]) for v in range(nv)]
+    unique_cols = list(dict.fromkeys(cols))
+    group_vars = tuple(
+        tuple(int(v) for v in range(nv) if cols[v] == c)
+        for c in unique_cols)
+    group_factors = tuple(
+        tuple(col[ct.varlocal_group] for ct in ctx.ctypes)
+        for col in unique_cols)
+
+    ctypes = tuple(_CtypePlan(
+        hori_scale=float(ct.hori_scale),
+        vert_scale=float(ct.vert_scale),
+        vert_is_z=(ct.vert_kind == "z"),
+        max_nobs=int(ct.max_nobs)) for ct in ctx.ctypes)
+
+    adaptive = cfg.letkf.infl_mul_adaptive or cfg.letkf.infl_mul <= 0
+    return _Plan(
+        ctypes=ctypes,
+        group_vars=group_vars,
+        group_factors=group_factors,
+        criterion=int(cfg.letkf_obs.max_nobs_per_grid_criterion),
+        adaptive=bool(adaptive),
+        min_infl=float(cfg.letkf.infl_mul_min),
+        relax_alpha=float(cfg.letkf.relax_alpha),
+        relax_alpha_spread=float(cfg.letkf.relax_alpha_spread),
+        relax_to_inflated_prior=bool(cfg.letkf.relax_to_inflated_prior),
+        relax_spread_out=bool(cfg.letkf.relax_spread_out),
+        boundary_buffer_width=float(cfg.letkf.boundary_buffer_width),
+        q_update_top=float(cfg.letkf.q_update_top),
+        q_sprd_max=float(cfg.letkf.q_sprd_max),
+        has_det=has_det,
+        has_depd=ctx.depd is not None,
+        eigh_impl=str(cfg.letkf.eigh_impl),
+    )
 
 
 def analyze(
@@ -95,6 +360,10 @@ def analyze(
     z_full: jax.Array,            # (nz, ny, nx) heights
     infl_field: jax.Array | None = None,   # (nz, ny, nx); None → INFL_MUL
     gues_det: jax.Array | None = None,     # (NV3D, nz, ny, nx) deterministic
+    mesh: Mesh | None = None,              # (member, dy, dx) device mesh
+    addi_ens: jax.Array | None = None,     # (K, NV3D, nz, ny, nx) additive-
+                                           # inflation source ensemble
+    rng: np.random.Generator | None = None,  # for INFL_ADD_SHUFFLE
 ) -> tuple[jax.Array, jax.Array | None, AnalysisDiag]:
     """Analysis update. Returns (anal, anal_det, diag)."""
     K, nv, nz, ny, nx = gues.shape
@@ -105,183 +374,104 @@ def analyze(
     pert = gues - mean[None]
 
     if infl_field is None:
-        infl0 = jnp.full((nz, ny, nx), cfg.letkf.infl_mul, dtype)
+        infl0 = jnp.full((nz, B), cfg.letkf.infl_mul, dtype)
     else:
-        infl0 = jnp.asarray(infl_field, dtype)
+        infl0 = jnp.asarray(infl_field, dtype).reshape(nz, B)
 
     # gridpoint coordinates in projection space
     xs, ys = grid.xy
-    gp_x = jnp.asarray(np.broadcast_to(xs[None, :], (ny, nx)).reshape(-1), dtype)
-    gp_y = jnp.asarray(np.broadcast_to(ys[:, None], (ny, nx)).reshape(-1), dtype)
+    gp_x = jnp.asarray(
+        np.broadcast_to(xs[None, :], (ny, nx)).reshape(-1), dtype)
+    gp_y = jnp.asarray(
+        np.broadcast_to(ys[:, None], (ny, nx)).reshape(-1), dtype)
+    dist_x = np.minimum(
+        np.broadcast_to(xs[None, :], (ny, nx)) - xs[0],
+        xs[-1] - np.broadcast_to(xs[None, :], (ny, nx)))
+    dist_y = np.minimum(
+        np.broadcast_to(ys[:, None], (ny, nx)) - ys[0],
+        ys[-1] - np.broadcast_to(ys[:, None], (ny, nx)))
+    dist_bdy = jnp.asarray(np.minimum(dist_x, dist_y).reshape(-1), dtype)
 
     # per-ctype candidate gathers (level-independent)
-    cand_list = [gather_candidates(ct.buckets, gp_x, gp_y)
-                 for ct in ctx.ctypes]
+    cand = tuple(gather_candidates(ct.buckets, gp_x, gp_y)
+                 for ct in ctx.ctypes)
 
-    dep_g = jnp.asarray(ctx.dep, dtype)
-    hdxb_g = jnp.asarray(ctx.hdxb, dtype)
-    depd_g = jnp.asarray(ctx.depd, dtype) if ctx.depd is not None else None
+    plan = _make_plan(ctx, cfg, nv, gues_det is not None)
+    if cfg.letkf.infl_add > 0 and addi_ens is None:
+        raise ValueError(
+            "INFL_ADD > 0 requires an additive-inflation ensemble "
+            "(addi_ens; reference INFL_ADD_IN_BASENAME files)")
 
-    logp_mean = jnp.log(jnp.maximum(mean[IA_P], 1e-3))
+    fn = _build_analysis_fn(plan, mesh)
 
-    adaptive = cfg.letkf.infl_mul_adaptive or cfg.letkf.infl_mul <= 0
+    logp_mean = jnp.log(jnp.maximum(mean[IA_P], 1e-3)).reshape(nz, B)
+    z_zb = jnp.asarray(z_full, dtype).reshape(nz, B)
+    pert_zkvb = jnp.transpose(pert.reshape(K, nv, nz, B), (2, 0, 1, 3))
+    mean_zvb = jnp.transpose(mean.reshape(nv, nz, B), (1, 0, 2))
+    if gues_det is not None:
+        det_r = jnp.asarray(gues_det, dtype).reshape(nv, nz, B)
+        pert_det_zvb = jnp.transpose(det_r - mean.reshape(nv, nz, B),
+                                     (1, 0, 2))
+        mean_det_zvb = jnp.transpose(det_r, (1, 0, 2))
+    else:
+        pert_det_zvb = None
+        mean_det_zvb = None
 
-    # variable-localization groups: model variables sharing the same column
-    # of the var_local table share one transform (the reference's
-    # var_local_n2n dedup, letkf_tools.f90:129-163)
-    vl_table = cfg.var_local.table(nv)            # (9, nv)
-    cols = [tuple(vl_table[:, v]) for v in range(nv)]
-    unique_cols = list(dict.fromkeys(cols))
-    group_of_var = np.asarray([unique_cols.index(c) for c in cols])
-    group_vars = [np.nonzero(group_of_var == g)[0]
-                  for g in range(len(unique_cols))]
-    group_factors = [
-        [col[ct.varlocal_group] for ct in ctx.ctypes]
-        for col in unique_cols]
-    trivial = len(unique_cols) == 1 and all(
-        f == 1.0 for f in group_factors[0])
+    depd_dev = (jnp.asarray(ctx.depd, dtype)
+                if ctx.depd is not None else None)
 
-    @jax.jit
-    def level_update(pert_lev, mean_lev, infl_lev, logp_lev, z_lev,
-                     pert_det_lev, mean_det_lev):
-        """One level: pert_lev (K, nv, B), mean_lev (nv, B), infl (B)."""
-        # boundary-buffer β (periodic domains: no boundary → β = 1)
-        if cfg.letkf.boundary_buffer_width > 0:
-            dist_x = jnp.minimum(gp_x - xs[0], xs[-1] - gp_x)
-            dist_y = jnp.minimum(gp_y - ys[0], ys[-1] - gp_y)
-            beta = relax_beta(jnp.minimum(dist_x, dist_y), z_lev,
-                              buffer_width=cfg.letkf.boundary_buffer_width)
-        else:
-            beta = jnp.ones(B, dtype)
+    anal_kvzb, infl_zb, nobs_zb, det_zvb, rtps_zvb = fn(
+        pert_zkvb, mean_zvb, infl0, logp_mean, z_zb,
+        gp_x, gp_y, dist_bdy, cand,
+        jnp.asarray(ctx.x, dtype), jnp.asarray(ctx.y, dtype),
+        jnp.asarray(ctx.vert, dtype), jnp.asarray(ctx.err, dtype),
+        jnp.asarray(ctx.dep, dtype), jnp.asarray(ctx.hdxb, dtype),
+        depd_dev, pert_det_zvb, mean_det_zvb)
 
-        pert_vbk = jnp.transpose(pert_lev, (1, 2, 0))  # (nv, B, K)
-        mean_vb = mean_lev                             # (nv, B)
-        parm = infl_lev if cfg.letkf.relax_to_inflated_prior \
-            else jnp.ones_like(infl_lev)
-
-        anal_parts = [None] * nv
-        det_parts = [None] * nv if pert_det_lev is not None else None
-        infl_out = None
-        nobs_mean = None
-
-        for g, vidx in enumerate(group_vars):
-            idx, rloc, rdiag = _level_weights(
-                ctx, cand_list, gp_x, gp_y, logp_lev, z_lev, cfg, dtype,
-                vl_factors=None if trivial else group_factors[g])
-            dep, hdxb = gather_obs_data(idx, dep_g, hdxb_g)
-            if depd_g is not None:
-                depd, _ = gather_obs_data(idx, depd_g, hdxb_g)
-            else:
-                depd = None
-            res = letkf_core(hdxb, rdiag, rloc, dep, infl_lev,
-                             rdiag_wloc=True,
-                             infl_update=adaptive and g == 0,
-                             depd=depd,
-                             min_infl=max(cfg.letkf.infl_mul_min, 0.0))
-            if g == 0:
-                infl_out = res.infl
-                nobs_point = jnp.sum(rloc > 0, axis=-1)
-                nobs_mean = jnp.mean(nobs_point.astype(dtype))
-
-            pert_g = pert_vbk[vidx]                 # (nvg, B, K)
-            if cfg.letkf.relax_alpha != 0.0:
-                trans_rlx = weight_rtpp(res.trans, parm,
-                                        cfg.letkf.relax_alpha)
-                w_tot = total_weight(trans_rlx, res.transm, beta)
-                anal_g = mean_vb[vidx][..., None] + jnp.einsum(
-                    "vbk,bkm->vbm", pert_g, w_tot,
-                    preferred_element_type=dtype)
-            elif cfg.letkf.relax_alpha_spread != 0.0:
-                # RTPS is per-variable (xb = that variable's K perturbations)
-                trans_all, _ = jax.vmap(
-                    lambda xb: weight_rtps(res.trans, res.pao, xb, parm,
-                                           cfg.letkf.relax_alpha_spread))(
-                    pert_g)
-                w_tots = jax.vmap(
-                    lambda tv: total_weight(tv, res.transm, beta))(trans_all)
-                anal_g = mean_vb[vidx][..., None] + jnp.einsum(
-                    "vbk,vbkm->vbm", pert_g, w_tots,
-                    preferred_element_type=dtype)
-            else:
-                w_tot = total_weight(res.trans, res.transm, beta)
-                anal_g = mean_vb[vidx][..., None] + jnp.einsum(
-                    "vbk,bkm->vbm", pert_g, w_tot,
-                    preferred_element_type=dtype)
-
-            for j, v in enumerate(vidx):
-                anal_parts[int(v)] = anal_g[j]
-
-            # deterministic member update (letkf_tools.f90:489-497)
-            if pert_det_lev is not None:
-                incr = jnp.einsum("vbk,bk->vb", pert_g, res.transmd,
-                                  preferred_element_type=dtype)
-                det_g = mean_det_lev[vidx] + incr * beta[None, :]
-                for j, v in enumerate(vidx):
-                    det_parts[int(v)] = det_g[j]
-
-        anal_vbk = jnp.stack(anal_parts, axis=0)
-        anal_det = (jnp.stack(det_parts, axis=0)
-                    if pert_det_lev is not None else None)
-        return anal_vbk, infl_out, anal_det, nobs_mean, nobs_point
-
-    anal_levels = []
-    anal_det_levels = [] if gues_det is not None else None
-    infl_levels = []
-    nobs_levels = []
-    nobs_fields = [] if cfg.letkf.nobs_out else None
-    z2 = jnp.asarray(z_full, dtype)
-    for k in range(nz):
-        pert_lev = pert[:, :, k].reshape(K, nv, B)
-        mean_lev = mean[:, k].reshape(nv, B)
-        infl_lev = infl0[k].reshape(B)
-        logp_lev = logp_mean[k].reshape(B)
-        z_lev = z2[k].reshape(B)
-        if gues_det is not None:
-            pert_det = (gues_det[:, k] - mean[:, k]).reshape(nv, B)
-            mean_det = gues_det[:, k].reshape(nv, B)
-        else:
-            pert_det = None
-            mean_det = None
-        anal_vb, infl_new, anal_det_vb, nobs_mean, nobs_pt = level_update(
-            pert_lev, mean_lev, infl_lev, logp_lev, z_lev, pert_det, mean_det)
-        anal_levels.append(anal_vb.reshape(nv, ny, nx, K))
-        infl_levels.append(infl_new.reshape(ny, nx))
-        nobs_levels.append(float(nobs_mean))
-        if nobs_fields is not None:
-            nobs_fields.append(np.asarray(nobs_pt).reshape(ny, nx))
-        if gues_det is not None:
-            anal_det_levels.append(anal_det_vb.reshape(nv, ny, nx))
-
-    anal = jnp.stack(anal_levels, axis=1)            # (nv, nz, ny, nx, K)
-    anal = jnp.moveaxis(anal, -1, 0)                 # (K, nv, nz, ny, nx)
-    infl_out = jnp.stack(infl_levels, axis=0)
-
-    # Q_UPDATE_TOP: keep the first guess for moisture above the level where
-    # mean p < Q_UPDATE_TOP (letkf_tools.f90:371)
-    if cfg.letkf.q_update_top > 0:
-        qmask = (mean[IA_P] < cfg.letkf.q_update_top)[None, None]
-        var_is_q = jnp.arange(nv)[None, :, None, None, None] >= IA_Q0
-        anal = jnp.where(qmask[None] & var_is_q, gues, anal)
-
-    # q-spread limiter (letkf_tools.f90:500-513): spread/mean ≤ Q_SPRD_MAX
-    if cfg.letkf.q_sprd_max > 0:
-        q = anal[:, IA_Q0]
-        q_mean = jnp.mean(q, axis=0)
-        q_pert = q - q_mean[None]
-        q_sprd = jnp.sqrt(jnp.sum(q_pert**2, axis=0) / (K - 1)) \
-            / jnp.maximum(jnp.abs(q_mean), 1e-30)
-        scale = jnp.where(q_sprd > cfg.letkf.q_sprd_max,
-                          cfg.letkf.q_sprd_max / jnp.maximum(q_sprd, 1e-30),
-                          1.0)
-        anal = anal.at[:, IA_Q0].set(q_mean[None] + q_pert * scale[None])
-
-    anal_det_out = (jnp.stack(anal_det_levels, axis=1)
+    anal = anal_kvzb.reshape(K, nv, nz, ny, nx)
+    anal_det_out = (jnp.transpose(det_zvb, (1, 0, 2)).reshape(nv, nz, ny, nx)
                     if gues_det is not None else None)
 
+    # --- additive inflation (letkf_tools.f90:804-929)
+    if cfg.letkf.infl_add > 0:
+        from scale_letkf_tpu.da.inflation import (
+            apply_additive_inflation, knuth_shuffle, radar_proximity_weight)
+        from scale_letkf_tpu.obs.types import ID_RADAR_REF
+        weight = None
+        if cfg.letkf.infl_add_ref_only:
+            ref_ct = [ct for ct in ctx.ctypes if ct.elem == ID_RADAR_REF]
+            if ref_ct:
+                ct = ref_ct[0]
+                weight = radar_proximity_weight(
+                    np.asarray(gp_x), np.asarray(gp_y),
+                    ctx.x[ct.obs_idx], ctx.y[ct.obs_idx],
+                    ct.hori_scale, buckets=ct.buckets,
+                    obs_x_all=ctx.x, obs_y_all=ctx.y)
+            else:
+                weight = np.zeros(B)
+            weight = jnp.asarray(weight.reshape(ny, nx), dtype)
+        shuffle = None
+        if cfg.letkf.infl_add_shuffle:
+            shuffle = knuth_shuffle(rng or np.random.default_rng(0), K)
+        anal = apply_additive_inflation(
+            anal, jnp.asarray(addi_ens, dtype), cfg.letkf.infl_add,
+            shuffle=shuffle, weight=weight,
+            q_ratio=cfg.letkf.infl_add_q_ratio, gues_mean=mean)
+
+    adaptive = plan.adaptive
+    rtps_out = None
+    if cfg.letkf.relax_spread_out:
+        if cfg.letkf.relax_alpha_spread == 0.0:
+            raise ValueError("RELAX_SPREAD_OUT requires RELAX_ALPHA_SPREAD")
+        rtps_out = np.asarray(
+            jnp.transpose(rtps_zvb, (1, 0, 2))).reshape(nv, nz, ny, nx)
+
+    nobs_np = np.asarray(nobs_zb)
     diag = AnalysisDiag(
-        nobs_per_level=np.asarray(nobs_levels),
-        infl_field=np.asarray(infl_out) if adaptive else None,
-        rtps_field=None,
-        nobs_field=(np.stack(nobs_fields, axis=0)
-                    if nobs_fields is not None else None))
+        nobs_per_level=nobs_np.mean(axis=1),
+        infl_field=(np.asarray(infl_zb).reshape(nz, ny, nx)
+                    if adaptive else None),
+        rtps_field=rtps_out,
+        nobs_field=(nobs_np.reshape(nz, ny, nx).astype(np.float64)
+                    if cfg.letkf.nobs_out else None))
     return anal, anal_det_out, diag

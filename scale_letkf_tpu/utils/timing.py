@@ -15,6 +15,16 @@ from dataclasses import dataclass, field
 import jax
 
 
+class SectionHandle:
+    """Yielded by Timer.section: set .sync_on to the section's device output
+    so its async dispatch is attributed to this section (the USE_MPI_BARRIER
+    analogue), instead of leaking into whichever later section first blocks."""
+    __slots__ = ("sync_on",)
+
+    def __init__(self, sync_on=None):
+        self.sync_on = sync_on
+
+
 @dataclass
 class Timer:
     sync: bool = True      # block on device work at section boundaries
@@ -26,12 +36,13 @@ class Timer:
     def section(self, name: str, sync_value=None):
         full = "/".join(self._stack + [name])
         self._stack.append(name)
+        handle = SectionHandle(sync_value)
         t0 = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            if self.sync and sync_value is not None:
-                jax.block_until_ready(sync_value)
+            if self.sync and handle.sync_on is not None:
+                jax.block_until_ready(handle.sync_on)
             dt = time.perf_counter() - t0
             self.records[full] = self.records.get(full, 0.0) + dt
             self.counts[full] = self.counts.get(full, 0) + 1
