@@ -89,6 +89,99 @@ def bench_tpu(B=10_000, L=30, K=8, n_lo=8, n_hi=208, reps=4,
     return B / best
 
 
+def bench_sweep(ks=(8, 50, 100, 1024), L=30):
+    """letkf_core throughput sweep over reference ensemble sizes
+    (MEMBER=50/100 operational configs, K=1024 big-ensemble north star —
+    BASELINE.md), comparing the lax (LAPACK-style) and MXU-native Jacobi
+    eigensolver backends. Returns {K: {backend: gridpoints/s}}."""
+    # batch sizes keep the K×K work arrays within a few hundred MB
+    bs = {8: 10_000, 50: 4096, 100: 2048, 1024: 32}
+    chains = {8: (8, 208), 50: (4, 44), 100: (4, 24), 1024: (1, 3)}
+    out = {}
+    for K in ks:
+        B = bs.get(K, 1024)
+        n_lo, n_hi = chains.get(K, (2, 10))
+        out[f"K{K}"] = {}
+        for impl in ("lax", "jacobi"):
+            if impl == "jacobi" and K % 2:
+                continue
+            try:
+                _alarm(600)
+                gps = bench_tpu(B=B, L=L, K=K, n_lo=n_lo, n_hi=n_hi,
+                                reps=2, eigh_impl=impl)
+                signal.alarm(0)
+                out[f"K{K}"][impl] = round(gps, 1)
+            except Exception:
+                signal.alarm(0)
+                out[f"K{K}"][impl] = None
+    return out
+
+
+def bench_cycle(steps=5, reps=2, platform_label=""):
+    """ONE full DA cycle (ensemble forecast + obsope + set_letkf_obs +
+    LETKF analysis) wall-clock on a small-but-real configuration: SI core
+    (3-substep HEVI), stretched levels, conventional obs network — the
+    full-cycle counterpart of BASELINE.md's north-star metric. Returns
+    (seconds_per_cycle, meta dict)."""
+    import jax
+    import jax.numpy as jnp
+    from scale_letkf_tpu.config import Config, EnsembleConfig, LetkfConfig
+    from scale_letkf_tpu.grid import Grid, Projection
+    from scale_letkf_tpu.cycle import CycleDriver
+    from scale_letkf_tpu.model.dycore import DycoreConfig, to_collocated
+    from scale_letkf_tpu.model.ideal import (
+        balanced_state, add_warm_bubble, perturb_ensemble)
+    from scale_letkf_tpu.da.obsmake import make_obs_network, obsmake
+    from scale_letkf_tpu.state import state_trans, state_to_history
+
+    NX = NY = 48
+    NZ = 16
+    DX = DY = 2000.0
+    DZ0, STRETCH = 300.0, 1.08
+    K = 8
+    grid = Grid.stretched(nx=NX, ny=NY, nz=NZ, dx=DX, dy=DY, dz0=DZ0,
+                          stretch=STRETCH, proj=Projection(kind="LC"))
+    qv = 0.008 * np.exp(-grid.cz / 3000.0)
+    s0, rho_ref, p_ref = balanced_state(NZ, NY, NX, DZ0, qv_prof=qv,
+                                        cz=grid.cz)
+    base = add_warm_bubble(s0, DZ0, DX, DY, amplitude=3.0)
+    cfg = Config(ensemble=EnsembleConfig(member=K),
+                 letkf=LetkfConfig(infl_mul=1.1, relax_alpha=0.5))
+    cfg.letkf_obs.hori_local = tuple([40.0e3] + [-1.0] * 23)
+    dycfg = DycoreConfig(dx=DX, dy=DY, dz=DZ0, dt=4.0, ztop=grid.ztop,
+                         sponge_height=0.8 * grid.ztop, sponge_tau=120.0)
+    driver = CycleDriver(grid, cfg, dycfg, rho_ref, p_ref,
+                         core="si", n_small=4)
+    driver.timer.sync = True
+
+    import jax.random as jrandom
+    allp = perturb_ensemble(jrandom.PRNGKey(0), base, K + 1, amplitude=0.5)
+    nature = jax.tree.map(lambda a: a[0], allp)
+    ens = jax.tree.map(lambda a: a[1:], allp)
+    rng = np.random.default_rng(0)
+    template = make_obs_network(grid, rng, n_profiles=40,
+                                levels_hpa=(900.0, 700.0, 500.0))
+    fields = state_to_history(state_trans(to_collocated(nature)),
+                              driver.z_full)
+    obs = obsmake(fields, template, grid, cfg, driver.z_full, rng)
+
+    # warm-up: compile forecast + analysis graphs
+    ens_w = driver.forecast(ens, steps)
+    driver.analysis(ens_w, obs)
+
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ens2 = driver.forecast(ens, steps)
+        ens3, _ = driver.analysis(ens2, obs)
+        jax.block_until_ready(ens3.rho)
+        best = min(best, time.perf_counter() - t0)
+    meta = {"grid": f"{NX}x{NY}x{NZ}", "members": K, "steps": steps,
+            "nobs": int(obs.nobs), "core": "si",
+            "platform": platform_label}
+    return best, meta
+
+
 def bench_cpu_oracle(L=30, K=8, n_points=300):
     """Per-point NumPy implementation of the same transform (the reference's
     algorithm shape: per-gridpoint GEMM + symmetric eigendecomposition)."""
@@ -134,6 +227,14 @@ def main():
         print(bench_tpu(n_lo=2, n_hi=12, reps=2, eigh_impl="lax"))
         return
 
+    if "--cycle-cpu-raw" in sys.argv:
+        # subprocess mode: the full DA cycle on host CPU (equal config)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        s, _ = bench_cycle(reps=1, platform_label="cpu")
+        print(s)
+        return
+
     tpu_gps = None
     for attempt in range(2):
         try:
@@ -169,6 +270,36 @@ def main():
         }))
         return
 
+    # ensemble-size sweep at reference scales (MEMBER=50/100, K=1024)
+    sweep = None
+    try:
+        sweep = bench_sweep()
+    except Exception:
+        pass
+
+    # full DA-cycle wall-clock (forecast + obsope + analysis), device vs
+    # the same pipeline on host CPU — BASELINE.md's ≥10× cycle target
+    cycle = None
+    try:
+        _alarm(900)
+        tpu_cycle_s, meta = bench_cycle(platform_label="device")
+        signal.alarm(0)
+        cpu_cycle_s = None
+        try:
+            r = subprocess.run([sys.executable, __file__, "--cycle-cpu-raw"],
+                               capture_output=True, text=True, timeout=1800)
+            cpu_cycle_s = float(r.stdout.strip().splitlines()[-1])
+        except Exception:
+            pass
+        cycle = {"device_s": round(tpu_cycle_s, 4),
+                 "cpu_s": (round(cpu_cycle_s, 4)
+                           if cpu_cycle_s is not None else None),
+                 "speedup_vs_cpu": (round(cpu_cycle_s / tpu_cycle_s, 2)
+                                    if cpu_cycle_s else None),
+                 **meta}
+    except Exception:
+        signal.alarm(0)
+
     import jax
     platform = jax.devices()[0].platform
     unit = (f"gridpoints/s (K=8, nobsl=30, B=1e4, platform={platform}; "
@@ -178,6 +309,8 @@ def main():
         "value": round(tpu_gps, 1),
         "unit": unit,
         "vs_baseline": round(tpu_gps / cpu_gps, 2),
+        "letkf_core_sweep_gridpoints_per_s": sweep,
+        "da_cycle": cycle,
     }))
 
 

@@ -37,7 +37,9 @@ if os.environ.get("JAX_PLATFORMS"):
         pass
 
 
-def load_config_and_grid(path: str):
+def load_config_and_grid(path: str, domain_overrides: dict | None = None):
+    """domain_overrides: optional [domain] key overrides (e.g. coarsened
+    grid sizes for tests of the full-size experiment configs)."""
     from scale_letkf_tpu.config import Config
     from scale_letkf_tpu.grid import Grid, Projection
     from scale_letkf_tpu.model.dycore import DycoreConfig
@@ -45,15 +47,26 @@ def load_config_and_grid(path: str):
     with open(path, "rb") as f:
         raw = tomllib.load(f)
     dom = raw.pop("domain", {})
+    if domain_overrides:
+        dom.update(domain_overrides)
     phys = raw.pop("physics", None)
     if phys is not None:
         dom["physics"] = phys
     cfg = Config.from_dict(raw)
     proj = Projection(**dom.get("projection", {}))
-    grid = Grid.uniform(
-        nx=dom.get("nx", 40), ny=dom.get("ny", 40), nz=dom.get("nz", 30),
-        dx=dom.get("dx", 2000.0), dy=dom.get("dy", 2000.0),
-        dz=dom.get("dz", 500.0), proj=proj)
+    stretch = dom.get("dz_stretch", 1.0)
+    if stretch != 1.0:
+        # geometrically stretched FZ levels (every reference domain
+        # stretches the vertical; PARAM_GRID FZ)
+        grid = Grid.stretched(
+            nx=dom.get("nx", 40), ny=dom.get("ny", 40), nz=dom.get("nz", 30),
+            dx=dom.get("dx", 2000.0), dy=dom.get("dy", 2000.0),
+            dz0=dom.get("dz", 500.0), stretch=stretch, proj=proj)
+    else:
+        grid = Grid.uniform(
+            nx=dom.get("nx", 40), ny=dom.get("ny", 40), nz=dom.get("nz", 30),
+            dx=dom.get("dx", 2000.0), dy=dom.get("dy", 2000.0),
+            dz=dom.get("dz", 500.0), proj=proj)
     dycfg = DycoreConfig(
         dx=grid.dx, dy=grid.dy, dz=float(grid.fz[1] - grid.fz[0]),
         dt=dom.get("dt", 1.0), ztop=grid.ztop,
@@ -71,10 +84,14 @@ def make_driver(cfg, grid, dycfg, dom):
                if qv0 > 0 else None)
     _, rho_ref, p_ref = balanced_state(grid.nz, grid.ny, grid.nx,
                                        float(grid.fz[1] - grid.fz[0]),
-                                       qv_prof=qv_prof)
+                                       qv_prof=qv_prof, cz=grid.cz)
     topo = None
     if dom.get("topo_file"):
         topo = np.load(dom["topo_file"])["topo"]
+    bdy = None
+    if dom.get("bdy_file"):
+        from scale_letkf_tpu.model.boundary import load_boundary
+        bdy = load_boundary(dom["bdy_file"])
     phys_cfg = None
     if "physics" in dom:
         from scale_letkf_tpu.model.physics_suite import PhysicsConfig
@@ -93,7 +110,11 @@ def make_driver(cfg, grid, dycfg, dom):
         mesh = make_mesh(pc.mesh_member, pc.mesh_y, pc.mesh_x)
     return CycleDriver(grid, cfg, dycfg, rho_ref, p_ref,
                        use_physics=dom.get("use_physics", False),
-                       topo=topo, phys_cfg=phys_cfg, mesh=mesh)
+                       topo=topo, phys_cfg=phys_cfg, mesh=mesh,
+                       core=dom.get("core", "explicit"),
+                       n_small=dom.get("n_small", 6),
+                       bdy=bdy, bdy_width=dom.get("bdy_width", 0),
+                       bdy_tau=dom.get("bdy_tau", 300.0))
 
 
 def load_addi_ens(cfg, dirpath):
@@ -110,6 +131,23 @@ def load_addi_ens(cfg, dirpath):
     addi, _, _ = load_ensemble(dirpath, basename=cfg.letkf.infl_add_in_basename)
     addi = DycoreState(*(jnp.asarray(a) for a in addi))
     return state_trans(jax.vmap(to_collocated)(addi))
+
+
+def slot_steps_from_cfg(cfg, nsteps: int, dt: float) -> list[int] | None:
+    """Step counts (from forecast start) of the assimilation-window time
+    slots (SLOT_START..SLOT_END with SLOT_BASE at the analysis time,
+    common_nml.f90:89-92). None when the window is a single slot."""
+    o = cfg.obsope
+    if o.slot_end <= o.slot_start:
+        return None
+    spb = o.slot_tinterval / dt
+    if abs(spb - round(spb)) > 1e-6:
+        raise ValueError(
+            f"slot_tinterval={o.slot_tinterval} must be a multiple of the "
+            f"model dt={dt}")
+    spb = int(round(spb))
+    return [max(0, nsteps + (i - o.slot_base) * spb)
+            for i in range(o.slot_start, o.slot_end + 1)]
 
 
 def read_obs_files(cfg, paths):
@@ -162,9 +200,15 @@ def cmd_letkf(args):
         precomputed = (np.stack(vals), np.stack(qcs).max(axis=0), lev)
 
     addi = load_addi_ens(cfg, args.addi or args.gues)
+    # 4-D obsope: per-slot history snapshots written by fcst
+    from scale_letkf_tpu.io.checkpoint import load_history
+    from scale_letkf_tpu.da.obsope import assign_slots
+    hist = load_history(args.gues)
+    slots = assign_slots(obs.dif, cfg) if hist is not None else None
     ens_a, info = driver.analysis(ens, obs, infl_field=infl, det=det,
                                   precomputed_hx=precomputed, addi_ens=addi,
-                                  rng=np.random.default_rng(args.seed))
+                                  rng=np.random.default_rng(args.seed),
+                                  hist_slots=hist, slots=slots)
     print(info["stats_gues"].format("O-B"))
     print(info["stats_anal"].format("O-A"))
     aux_out = {}
@@ -183,6 +227,9 @@ def cmd_letkf(args):
                   det=info["det"], meta={**meta, "step": "letkf"})
     if cfg.monitor.obsdep_out:
         info["obsdep"].save(f"{args.anal}/{cfg.monitor.obsdep_out_basename}.npz")
+        info["obsdep"].save_binary(
+            f"{args.anal}/{cfg.monitor.obsdep_out_basename}.dat",
+            dif=obs.dif)
     print(driver.timer.report())
 
 
@@ -199,9 +246,21 @@ def cmd_obsope(args):
     ens, _, _ = load_ensemble(args.gues)
     ens = DycoreState(*(jnp.asarray(a) for a in ens))
     obs = read_obs_files(cfg, args.obs)
-    gues = state_trans(jax.vmap(to_collocated)(ens))
-    fields = jax.vmap(lambda g: state_to_history(g, driver.z_full))(gues)
-    hx = obsope_ensemble(fields, obs, grid, cfg, driver.z_full)
+    from scale_letkf_tpu.io.checkpoint import load_history
+    from scale_letkf_tpu.da.obsope import assign_slots
+    hist = load_history(args.gues)
+    if hist is not None:
+        # 4-D: match each obs against its time-slot history snapshot
+        fields = jax.vmap(
+            lambda g: state_to_history(g, driver.z_full, driver.topo))(
+            jnp.asarray(hist))
+        hx = obsope_ensemble(fields, obs, grid, cfg, driver.z_full,
+                             slots=assign_slots(obs.dif, cfg))
+    else:
+        gues = state_trans(jax.vmap(to_collocated)(ens))
+        fields = jax.vmap(
+            lambda g: state_to_history(g, driver.z_full, driver.topo))(gues)
+        hx = obsope_ensemble(fields, obs, grid, cfg, driver.z_full)
     K = hx.ensval.shape[0]
     from scale_letkf_tpu.obs.types import ID_H08IR
     has_h08 = bool(np.any(obs.elem == ID_H08IR))
@@ -229,7 +288,8 @@ def cmd_obsmake(args):
     nat = load_member(args.nature)
     nat = DycoreState(*(jnp.asarray(a) for a in nat))
     template = read_obs_files(cfg, [args.obs_template])
-    fields = state_to_history(state_trans(to_collocated(nat)), driver.z_full)
+    fields = state_to_history(state_trans(to_collocated(nat)),
+                              driver.z_full, driver.topo)
     rng = np.random.default_rng(args.seed)
     obs = obsmake(fields, template, grid, cfg, driver.z_full, rng)
     from scale_letkf_tpu.obs.types import ID_H08IR, TYP_PHARAD
@@ -253,7 +313,8 @@ def cmd_obssim(args):
     driver = make_driver(cfg, grid, dycfg, dom)
     s = load_member(args.state)
     s = DycoreState(*(jnp.asarray(a) for a in s))
-    fields = state_to_history(state_trans(to_collocated(s)), driver.z_full)
+    fields = state_to_history(state_trans(to_collocated(s)),
+                              driver.z_full, driver.topo)
     name_to_id = {n.strip().upper(): e for n, e in zip(OBELM_NAMES, ELEM_UID)}
     elems = []
     for v in args.vars.split(","):
@@ -303,12 +364,25 @@ def cmd_fcst(args):
     ens, aux, meta = load_ensemble(args.init)
     ens = DycoreState(*(jnp.asarray(a) for a in ens))
     det = load_det(args.init)
-    ens = driver.forecast(ens, args.steps)
+    slot_steps = slot_steps_from_cfg(cfg, args.steps, dycfg.dt)
+    hist = None
+    if slot_steps is not None:
+        # 4-D window: emit per-slot history snapshots alongside the gues
+        # (the reference model's history output consumed by obsope)
+        ens, hist = driver.forecast_slots(ens, args.steps, slot_steps)
+    else:
+        ens = driver.forecast(ens, args.steps)
     if det is not None:
         det = DycoreState(*(jnp.asarray(a) for a in det))
         det = driver.forecast_one(det, args.steps)
     save_ensemble(args.out, ens, basename="gues.@@@@", aux=aux, det=det,
                   meta={**meta, "step": "fcst", "steps": args.steps})
+    if hist is not None:
+        from scale_letkf_tpu.io.checkpoint import save_history
+        save_history(args.out, np.asarray(hist),
+                     slot_ids=list(range(cfg.obsope.slot_start,
+                                         cfg.obsope.slot_end + 1)))
+        print(f"fcst: wrote {hist.shape[1]} history slots")
     print(f"fcst: {args.steps} steps -> {args.out}")
     print(driver.timer.report())
 
@@ -330,13 +404,22 @@ def cmd_cycle(args):
     infl = aux.get("infl")
     addi = load_addi_ens(cfg, args.init)
     rng = np.random.default_rng(0)
+    from scale_letkf_tpu.da.obsope import assign_slots
+    slot_steps = slot_steps_from_cfg(cfg, args.steps_per_cycle, dycfg.dt)
     for c in range(args.cycles):
-        ens = driver.forecast(ens, args.steps_per_cycle)
+        hist = None
+        if slot_steps is not None:
+            ens, hist = driver.forecast_slots(ens, args.steps_per_cycle,
+                                              slot_steps)
+        else:
+            ens = driver.forecast(ens, args.steps_per_cycle)
         if det is not None:
             det = driver.forecast_one(det, args.steps_per_cycle)
         obs = read_obs_files(cfg, [args.obs_pattern.format(cycle=c)])
+        slots = assign_slots(obs.dif, cfg) if hist is not None else None
         ens, info = driver.analysis(ens, obs, infl_field=infl, det=det,
-                                    addi_ens=addi, rng=rng)
+                                    addi_ens=addi, rng=rng,
+                                    hist_slots=hist, slots=slots)
         if det is not None:
             det = info["det"]
         if info["diag"].infl_field is not None:

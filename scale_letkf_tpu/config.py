@@ -134,6 +134,12 @@ class LetkfObsConfig:
     vert_local_rain_base: float = 85000.0
     max_nobs_per_grid: tuple[int, ...] = tuple([0] + [-1] * (NOBTYPE - 1))
     max_nobs_per_grid_criterion: int = 1
+    # HBM-capacity bound on the obs bucket tables (framework knob; plays
+    # the role of the reference's incremental-radius search bound,
+    # letkf_tools.f90:1479): per-cell capacity cap. 0 = auto (2× the
+    # per-gridpoint obs limit when one is set, else unbounded); overflowing
+    # cells are stratified-thinned.
+    max_bucket_capacity: int = 0
     obs_min_spacing: tuple[float, ...] = (
         300.0e3, 100.0e3, 100.0e3, 150.0e3, 300.0e3, 150.0e3, 150.0e3, 100.0e3,
         150.0e3, 150.0e3, 150.0e3, 150.0e3, 150.0e3, 150.0e3, 150.0e3, 150.0e3,

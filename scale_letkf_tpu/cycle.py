@@ -23,7 +23,8 @@ from scale_letkf_tpu.state import (
     ensemble_spread,
 )
 from scale_letkf_tpu.model.dycore import (
-    DycoreConfig, DycoreState, integrate, to_collocated, from_collocated,
+    DycoreConfig, DycoreState, rk3_step, make_vgrid, to_collocated,
+    from_collocated,
 )
 from scale_letkf_tpu.model.physics import kessler_step
 from scale_letkf_tpu.da.obsope import obsope_ensemble, compute_hx_single
@@ -46,12 +47,25 @@ class CycleResult:
 
 
 class CycleDriver:
-    """Cycling DA over an idealized domain (periodic lateral boundaries)."""
+    """Cycling DA driver composing the forecast model from config:
+
+    - core: 'explicit' (acoustic-resolving RK3, dt limited by the vertical
+      sound CFL) or 'si' (split-explicit HEVI, model/dycore_si.py — the
+      reference's TIME_DT=30 s / TIME_DT_ATMOS_DYN=3 s regime,
+      config/2015summer_18km/config.nml.scale PARAM_TIME)
+    - terrain metrics when topography is present (model/terrain.py;
+      scale_calc_z, common_scale.f90:1434)
+    - stretched vertical levels when the Grid has non-uniform fz
+    - Davies lateral-boundary relaxation toward file/parent targets
+      (model/boundary.py; workflow BDY_FORMAT options,
+      config/example/config.main.hakushu:72-78)
+    """
 
     def __init__(self, grid: Grid, cfg: Config, dycfg: DycoreConfig,
                  rho_ref, p_ref, use_physics: bool = False,
                  phys_interval: int = 5, topo=None, phys_cfg=None,
-                 mesh=None):
+                 mesh=None, core: str = "explicit", n_small: int = 6,
+                 bdy=None, bdy_width: int = 0, bdy_tau: float = 300.0):
         self.grid = grid
         self.cfg = cfg
         self.dycfg = dycfg
@@ -59,6 +73,7 @@ class CycleDriver:
         self.p_ref = p_ref
         self.use_physics = use_physics
         self.mesh = mesh
+        self.core = core
         self.timer = Timer()
         # prepared topography (read_topo equivalent, common_scale.f90:785)
         topo = jnp.zeros((grid.ny, grid.nx)) if topo is None \
@@ -67,10 +82,81 @@ class CycleDriver:
         self.z_full = grid.calc_z(topo)
         self.z_centers = jnp.asarray(grid.cz, jnp.float32)
 
-        def fcst_one(s: DycoreState, nsteps: int) -> DycoreState:
+        # stretched vertical metric (None on uniform grids)
+        dzs = np.diff(np.asarray(grid.fz))
+        self.vg = (make_vgrid(grid.cz, grid.fz)
+                   if not np.allclose(dzs, dzs[0]) else None)
+        self.dz_col = (self.vg.dzc if self.vg is not None else dycfg.dz)
+        # the physics suite's PBL diffusion assumes uniform spacing; on
+        # stretched grids it runs with the lowest-level thickness (where
+        # PBL mixing concentrates) — column-aware physics is a known
+        # simplification vs the reference's external SCALE physics
+        self.dz_phys = dycfg.dz if self.vg is None else float(dzs[0])
+
+        # terrain metrics when any topography is present
+        self.metrics = None
+        if bool(np.any(np.asarray(topo) != 0.0)):
+            from scale_letkf_tpu.model.terrain import make_metrics
+            self.metrics = make_metrics(jnp.asarray(topo, jnp.float32),
+                                        grid.cz, grid.fz, grid.dx, grid.dy)
+
+        # lateral boundary forcing (Davies relaxation)
+        self.bdy = bdy
+        self._bdy_w2d = None
+        if bdy is not None and bdy_width > 0:
+            from scale_letkf_tpu.model.boundary import relaxation_weight
+            self._bdy_w2d = relaxation_weight(grid.ny, grid.nx, bdy_width,
+                                              bdy_tau)
+
+        if core == "si":
+            from scale_letkf_tpu.model.dycore_si import (
+                SplitConfig, rk3_step_si)
+            split = SplitConfig(dtau=dycfg.dt / n_small)
+
+            def dyn_step(s):
+                return rk3_step_si(s, dycfg, split, rho_ref, p_ref,
+                                   self.z_centers, n_small, self.vg,
+                                   self.metrics)
+        elif self.metrics is not None:
+            from scale_letkf_tpu.model.terrain import rk3_step_terrain
+
+            def dyn_step(s):
+                return rk3_step_terrain(s, dycfg, rho_ref, p_ref,
+                                        self.z_centers, self.metrics,
+                                        vg=self.vg)
+        else:
+            def dyn_step(s):
+                return rk3_step(s, dycfg, rho_ref, p_ref, self.z_centers,
+                                self.vg)
+
+        def apply_bdy(s, t):
+            """Davies nudging toward the time-interpolated target."""
+            from scale_letkf_tpu.model.boundary import (
+                apply_boundary_relaxation)
+            b = self.bdy
+            denom = max(b.t1 - b.t0, 1e-9)
+            a = jnp.clip((t - b.t0) / denom, 0.0, 1.0)
+            target = DycoreState(*((1.0 - a) * x0 + a * x1
+                                   for x0, x1 in zip(b.state0, b.state1)))
+            return apply_boundary_relaxation(s, target, self._bdy_w2d,
+                                             dycfg.dt)
+
+        def run_steps(s, nsteps, t0):
+            """nsteps dynamics steps (+ per-step boundary relaxation)."""
+            def body(c, i):
+                c = dyn_step(c)
+                if self._bdy_w2d is not None:
+                    t = t0 + (i.astype(jnp.float32) + 1.0) * jnp.float32(
+                        dycfg.dt)
+                    c = apply_bdy(c, t)
+                return c, None
+            s, _ = jax.lax.scan(body, s, jnp.arange(nsteps))
+            return s
+
+        def fcst_one(s: DycoreState, nsteps: int,
+                     t0=jnp.float32(0.0)) -> DycoreState:
             if not use_physics and phys_cfg is None:
-                return integrate(s, dycfg, rho_ref, p_ref, self.z_centers,
-                                 nsteps)
+                return run_steps(s, nsteps, t0)
             # interleave physics every phys_interval dynamics steps
             # (the reference's TIME_DT vs TIME_DT_ATMOS_PHY_* split)
             chunk = min(phys_interval, nsteps)
@@ -83,67 +169,104 @@ class CycleDriver:
                 # forecast start (slab state is not checkpointed).
                 from scale_letkf_tpu.model.physics_suite import (
                     init_physics_state, physics_step)
-                phys = init_physics_state(s, dycfg.dz, phys_cfg)
+                phys = init_physics_state(s, self.dz_phys, phys_cfg)
 
                 def body(carry, i):
                     c, ph = carry
-                    c = integrate(c, dycfg, rho_ref, p_ref,
-                                  self.z_centers, chunk)
+                    tc = t0 + i.astype(jnp.float32) * jnp.float32(
+                        chunk * dycfg.dt)
+                    c = run_steps(c, chunk, tc)
                     c, ph = physics_step(c, ph, i, phys_cfg,
-                                         dycfg.dt * chunk, dycfg.dz,
+                                         dycfg.dt * chunk, self.dz_phys,
                                          self.z_centers)
                     return (c, ph), None
 
                 (s, phys), _ = jax.lax.scan(body, (s, phys),
                                             jnp.arange(n_chunks))
                 if rem:
-                    s = integrate(s, dycfg, rho_ref, p_ref,
-                                  self.z_centers, rem)
+                    s = run_steps(
+                        s, rem, t0 + jnp.float32(n_chunks * chunk * dycfg.dt))
                     s, phys = physics_step(s, phys,
                                            jnp.int32(n_chunks), phys_cfg,
-                                           dycfg.dt * rem, dycfg.dz,
+                                           dycfg.dt * rem, self.dz_phys,
                                            self.z_centers)
                 return s
 
-            def body(c, _):
-                c = integrate(c, dycfg, rho_ref, p_ref, self.z_centers,
-                              chunk)
-                c = kessler_step(c, dycfg.dt * chunk, dycfg.dz)
+            def body(c, i):
+                tc = t0 + i.astype(jnp.float32) * jnp.float32(
+                    chunk * dycfg.dt)
+                c = run_steps(c, chunk, tc)
+                c = kessler_step(c, dycfg.dt * chunk, self.dz_col)
                 return c, None
 
-            s, _ = jax.lax.scan(body, s, None, length=n_chunks)
+            s, _ = jax.lax.scan(body, s, jnp.arange(n_chunks))
             if rem:
-                s = integrate(s, dycfg, rho_ref, p_ref, self.z_centers, rem)
-                s = kessler_step(s, dycfg.dt * rem, dycfg.dz)
+                s = run_steps(s, rem,
+                              t0 + jnp.float32(n_chunks * chunk * dycfg.dt))
+                s = kessler_step(s, dycfg.dt * rem, self.dz_col)
             return s
 
-        def fcst_ens(ens: DycoreState, nsteps: int) -> DycoreState:
+        def fcst_ens(ens: DycoreState, nsteps: int, t0) -> DycoreState:
             if self.mesh is not None:
                 from scale_letkf_tpu.parallel.mesh import constrain_ensemble
                 ens = constrain_ensemble(self.mesh, ens)
-            out = jax.vmap(fcst_one, in_axes=(0, None))(ens, nsteps)
+            out = jax.vmap(fcst_one, in_axes=(0, None, None))(ens, nsteps, t0)
             if self.mesh is not None:
                 out = constrain_ensemble(self.mesh, out)
             return out
 
         self._fcst_one = fcst_one
+        self._fcst_one_jit = jax.jit(fcst_one, static_argnums=1)
         self._fcst_ens = jax.jit(fcst_ens, static_argnums=1)
 
     # -- forecast step (scale-rm_ens equivalent) --
-    def forecast(self, ens: DycoreState, nsteps: int) -> DycoreState:
+    def forecast(self, ens: DycoreState, nsteps: int,
+                 t0: float = 0.0) -> DycoreState:
+        """t0: forecast start time [s] relative to the boundary-data clock
+        (only meaningful with lateral-boundary forcing)."""
         with self.timer.section("forecast"):
-            out = self._fcst_ens(ens, nsteps)
+            out = self._fcst_ens(ens, nsteps, jnp.float32(t0))
             jax.block_until_ready(out.rho)
         return out
 
-    def forecast_one(self, s: DycoreState, nsteps: int) -> DycoreState:
-        return jax.jit(self._fcst_one, static_argnums=1)(s, nsteps)
+    def forecast_one(self, s: DycoreState, nsteps: int,
+                     t0: float = 0.0) -> DycoreState:
+        return self._fcst_one_jit(s, nsteps, jnp.float32(t0))
+
+    def forecast_slots(self, ens: DycoreState, nsteps: int,
+                       slot_steps: list[int], t0: float = 0.0
+                       ) -> tuple[DycoreState, jax.Array]:
+        """Forecast with per-slot history snapshots for 4-D H(x)
+        (the reference model's LTIMESLOT history output consumed by
+        obsope, obsope_tools.f90:431-508).
+
+        slot_steps: step counts (from forecast start) at which snapshots
+        are taken; entries may exceed nsteps (window extending past the
+        analysis time). Returns (state at nsteps, hist) with hist
+        (K, S, NV3D, nz, ny, nx) in slot_steps order."""
+        points = sorted(set(slot_steps) | {nsteps})
+        snaps = {}
+        state = ens
+        state_at_n = ens if nsteps == 0 else None
+        cur = 0
+        for pt in points:
+            if pt > cur:
+                state = self.forecast(state, pt - cur,
+                                      t0=t0 + cur * self.dycfg.dt)
+                cur = pt
+            if pt == nsteps:
+                state_at_n = state
+            if pt in slot_steps:
+                snaps[pt] = state_trans(jax.vmap(to_collocated)(state))
+        hist = jnp.stack([snaps[s] for s in slot_steps], axis=1)
+        return state_at_n, hist
 
     # -- analysis step (obsope + letkf equivalents) --
     def analysis(self, ens: DycoreState, obs: Observations,
                  infl_field=None, det: DycoreState | None = None,
                  precomputed_hx=None, addi_ens=None,
-                 rng: np.random.Generator | None = None):
+                 rng: np.random.Generator | None = None,
+                 hist_slots=None, slots=None):
         """Returns (analysis DycoreState ensemble, diagnostics dict).
 
         `det` is the optional deterministic member (DET_RUN,
@@ -153,7 +276,12 @@ class CycleDriver:
         from a separate obsope run (the OBSDA_IN path, common_nml.f90:95).
         `addi_ens` is the additive-inflation source ensemble in analysis
         variables (K, NV3D, nz, ny, nx) — required when INFL_ADD > 0
-        (reference INFL_ADD_IN_BASENAME files, common_nml.f90:117)."""
+        (reference INFL_ADD_IN_BASENAME files, common_nml.f90:117).
+        `hist_slots` + `slots` enable the 4-D observation operator: H(x)
+        is evaluated against the per-slot history snapshots
+        (K, S, NV3D, nz, ny, nx) from forecast_slots, each obs matched to
+        its time slot (obsope_tools.f90:431-508); the analysis update
+        itself stays 3-D at the window center."""
         cfg = self.cfg
         with self.timer.section("state_trans") as ts:
             restart = jax.vmap(to_collocated)(ens)       # (K, NV3D, nz, ny, nx)
@@ -171,12 +299,18 @@ class CycleDriver:
                 hx = ObsOpeResult(ensval=np.asarray(precomputed_hx[0]),
                                   qc=np.asarray(precomputed_hx[1]),
                                   lev=lev_pc)
+            elif hist_slots is not None:
+                fields = jax.vmap(
+                    lambda g: state_to_history(g, self.z_full, self.topo))(
+                    jnp.asarray(hist_slots))     # leading (K, S)
+                hx = obsope_ensemble(fields, obs, self.grid, cfg,
+                                     self.z_full, slots=slots)
             else:
                 fields = jax.vmap(
-                    lambda g: state_to_history(g, self.z_full))(gues)
+                    lambda g: state_to_history(g, self.z_full, self.topo))(gues)
                 hx = obsope_ensemble(fields, obs, self.grid, cfg, self.z_full)
             if det is not None:
-                det_fields = state_to_history(gues_det, self.z_full)
+                det_fields = state_to_history(gues_det, self.z_full, self.topo)
                 y_det, _ = compute_hx_single(det_fields, obs, self.grid,
                                              cfg, self.z_full)
                 ensval_det = np.asarray(y_det)
@@ -214,7 +348,8 @@ class CycleDriver:
         # values (ctx.dat): radar reflectivity was converted to dBZ by
         # set_letkf_obs-equivalent preprocessing, and H(x) returns dBZ.
         with self.timer.section("monitor"):
-            anal_mean_fields = state_to_history(ensemble_mean(anal), self.z_full)
+            anal_mean_fields = state_to_history(ensemble_mean(anal),
+                                               self.z_full, self.topo)
             y_a, qc_a = compute_hx_single(anal_mean_fields, obs, self.grid,
                                           cfg, self.z_full)
             y_a = np.asarray(y_a).copy()
@@ -257,7 +392,8 @@ class CycleDriver:
             ens = self.forecast(ens, steps_per_cycle)
 
             truth_anal = state_trans(to_collocated(truth))
-            nature_fields = state_to_history(truth_anal, self.z_full)
+            nature_fields = state_to_history(truth_anal, self.z_full,
+                                             self.topo)
             obs = obsmake(nature_fields, obs_template, self.grid, self.cfg,
                           self.z_full, rng)
 

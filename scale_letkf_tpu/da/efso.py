@@ -85,6 +85,26 @@ def localized_sums(fields: jax.Array, sigma_x: float, sigma_y: float,
     return out
 
 
+def advected_obs_coords(
+    obs_ri: jax.Array, obs_rj: jax.Array, obs_rk: jax.Array,
+    u_mean: jax.Array, v_mean: jax.Array,   # (nz, ny, nx) ½(u_anal + u_fcst)
+    grid: Grid,
+    adv_time: float,                        # evaluation period eft [s]
+    locadv_rate: float = 1.0,               # LOCADV_RATE
+) -> tuple[jax.Array, jax.Array]:
+    """Advected localization (loc_advection, efso_tools.f90:158): the
+    reference shifts each gridpoint upstream by −½(ua+uf)·rate·eft before
+    measuring its distance to an obs; equivalently (for winds smooth on the
+    localization scale) the obs sampling location moves DOWNSTREAM with the
+    mean wind interpolated at the obs — which is how the convolution
+    formulation applies it: sample the localized sums at the advected
+    coordinates."""
+    u_at = itpl_3d(u_mean, obs_rk, obs_ri, obs_rj)
+    v_at = itpl_3d(v_mean, obs_rk, obs_ri, obs_rj)
+    d = locadv_rate * adv_time
+    return obs_ri + d * u_at / grid.dx, obs_rj + d * v_at / grid.dy
+
+
 def efso_impact(
     obs_ri: jax.Array,          # (nobs,) fractional x-index of each obs
     obs_rj: jax.Array,
@@ -97,8 +117,16 @@ def efso_impact(
     grid: Grid,
     hori_scale: float,          # localization scale [m]
     vert_scale_cells: float = 0.0,
+    u_adv: jax.Array | None = None,   # (nz, ny, nx) ½(ua+uf) for advected
+    v_adv: jax.Array | None = None,   # localization (None: no advection)
+    adv_time: float = 0.0,            # evaluation period eft [s]
+    locadv_rate: float = 1.0,
 ) -> jax.Array:
     """Per-obs forecast-error impact ΔJ (negative = beneficial)."""
+    if u_adv is not None and adv_time > 0:
+        obs_ri, obs_rj = advected_obs_coords(
+            obs_ri, obs_rj, obs_rk, u_adv, v_adv, grid, adv_time,
+            locadv_rate)
     K = fcst_pert.shape[0]
     w_var = jnp.asarray(energy_weights(fcst_pert.shape[1]),
                         fcst_pert.dtype)

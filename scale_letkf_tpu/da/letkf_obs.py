@@ -243,15 +243,20 @@ def build_obs_context(
         else:
             vkind = "logp"
         cutoff = hs * DIST_ZERO_FAC
+        max_nobs = lo.max_nobs_for(typ)
+        # capacity bound: config override, else 2× the per-gridpoint obs
+        # limit (the top-k then selects from ≥ 2L nearest-cell candidates),
+        # else unbounded (conventional densities never overflow)
+        if lo.max_bucket_capacity > 0:
+            cap_max = lo.max_bucket_capacity
+        elif max_nobs > 0:
+            cap_max = 2 * max_nobs
+        else:
+            cap_max = 0
         buckets = build_buckets(x[idx], y[idx], -half_x, -half_y,
-                                half_x, half_y, cutoff)
-        # remap bucket entries from ctype-local to global obs indices
-        tbl = buckets.table
-        remapped = np.where(tbl >= 0, idx[np.clip(tbl, 0, None)], -1).astype(np.int32)
-        buckets = BucketGrid(table=remapped, x0=buckets.x0, y0=buckets.y0,
-                             spacing_x=buckets.spacing_x,
-                             spacing_y=buckets.spacing_y,
-                             n_dropped=buckets.n_dropped)
+                                half_x, half_y, cutoff,
+                                max_capacity=cap_max,
+                                index_map=idx.astype(np.int32))
         ctx.ctypes.append(CtypeContext(
             elem=elem, typ=typ, hori_scale=hs, vert_scale=vs,
             vert_kind=vkind, max_nobs=lo.max_nobs_for(typ),

@@ -89,6 +89,16 @@ class ObsDepRecord:
                           ("elem", "typ", "lon", "lat", "lev", "dat", "err",
                            "qc", "omb", "oma")})
 
+    def save_binary(self, path: str, dif: np.ndarray | None = None):
+        """Reference-binary obsdep (write_obs_dep, common_obs_scale.f90:2354)
+        for the reference's offline scoring tools."""
+        from scale_letkf_tpu.obs import io as obsio
+        obsio.write_obs_dep(
+            path, self.elem, self.lon, self.lat, self.lev, self.dat,
+            self.err, self.typ,
+            np.zeros(len(self.elem)) if dif is None else dif,
+            self.qc, self.omb, self.oma)
+
     @staticmethod
     def load(path: str) -> "ObsDepRecord":
         z = np.load(path)

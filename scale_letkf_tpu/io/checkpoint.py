@@ -110,6 +110,40 @@ def load_det(dirpath: str | Path) -> DycoreState | None:
         d / (filename_replace_mem(manifest["basename"], "mdet") + ".npz"))
 
 
+def save_history(dirpath: str | Path, hist: np.ndarray,
+                 basename: str = "hist.@@@@",
+                 slot_ids: list[int] | None = None):
+    """Per-slot history snapshots for the 4-D observation operator
+    (the reference's model history output read per slot by obsope,
+    read_history common_scale.f90:903 / obsope_tools.f90:431-508).
+
+    hist: (K, S, NV3D, nz, ny, nx) analysis-variable stacks per member and
+    time slot."""
+    d = Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
+    hist = np.asarray(jax.device_get(hist))
+    K = hist.shape[0]
+    for m in range(K):
+        np.savez(d / (filename_replace_mem(basename, m) + ".npz"),
+                 hist=hist[m])
+    (d / "hist.json").write_text(json.dumps({
+        "members": K, "slots": int(hist.shape[1]), "basename": basename,
+        "slot_ids": slot_ids or list(range(1, hist.shape[1] + 1))}))
+
+
+def load_history(dirpath: str | Path) -> np.ndarray | None:
+    """Load per-slot history snapshots; None if the checkpoint has none."""
+    d = Path(dirpath)
+    if not (d / "hist.json").exists():
+        return None
+    meta = json.loads((d / "hist.json").read_text())
+    out = []
+    for m in range(meta["members"]):
+        z = np.load(d / (filename_replace_mem(meta["basename"], m) + ".npz"))
+        out.append(z["hist"])
+    return np.stack(out)
+
+
 def save_member(path: str | Path, s: DycoreState):
     host = jax.device_get(s)
     np.savez(path, rho=host.rho, rhou=host.rhou, rhov=host.rhov,

@@ -62,3 +62,24 @@ def apply_boundary_relaxation(s: DycoreState, target: DycoreState,
         fac = dt * w
         return (x + fac * xt) / (1.0 + fac)
     return DycoreState(*(nudge(x, xt) for x, xt in zip(s, target)))
+
+
+def save_boundary(path: str, bdy: BoundaryData) -> None:
+    """Boundary file: two bracketing DycoreStates + their times (the role
+    of the reference's scale_init boundary output, BDY_FORMAT options in
+    config/example/config.main.hakushu:72-78)."""
+    arrs = {}
+    for tag, st in (("b0", bdy.state0), ("b1", bdy.state1)):
+        for name, a in zip(DycoreState._fields, st):
+            arrs[f"{tag}_{name}"] = np.asarray(a)
+    np.savez_compressed(path, t0=bdy.t0, t1=bdy.t1, **arrs)
+
+
+def load_boundary(path: str) -> BoundaryData:
+    z = np.load(path)
+    s0 = DycoreState(*(jnp.asarray(z[f"b0_{n}"])
+                       for n in DycoreState._fields))
+    s1 = DycoreState(*(jnp.asarray(z[f"b1_{n}"])
+                       for n in DycoreState._fields))
+    return BoundaryData(state0=s0, state1=s1,
+                        t0=float(z["t0"]), t1=float(z["t1"]))

@@ -45,7 +45,7 @@ CPDRY = RD + CVDRY
 class DycoreConfig:
     dx: float
     dy: float
-    dz: float                  # uniform vertical spacing (stretch: later)
+    dz: float                  # nominal vertical spacing (pass a VGrid for stretched levels)
     dt: float                  # model step (one RK3 step)
     divdmp: float = 0.05       # divergence damping coefficient (nondim, of dx²/dt)
     kdiff4: float = 1.0e-3     # 4th-order hyperdiffusion coefficient (nondim)
@@ -62,6 +62,24 @@ class DycoreState(NamedTuple):
     rhow: jax.Array   # (nz+1, ny, nx) z-faces; [0] and [nz] are rigid (0)
     rhot: jax.Array   # (nz, ny, nx) ρθ (moist density-weighted θ)
     rhoq: jax.Array   # (NQ, nz, ny, nx) tracer densities ρq (conservative form)
+
+
+class VGrid(NamedTuple):
+    """Stretched-vertical-level metric (the reference's FZ levels; every
+    reference domain uses geometrically stretched dz — PARAM_GRID FZ read
+    through scale_calc_z, common_scale.f90:1434-1470). None ⇒ uniform
+    cfg.dz everywhere."""
+    dzc: jax.Array    # (nz, 1, 1)   cell thickness fz[k+1] − fz[k]
+    dzf: jax.Array    # (nz-1, 1, 1) center-to-center spacing cz[k] − cz[k-1]
+                      #              (at interior z-faces k = 1..nz-1)
+
+
+def make_vgrid(cz: np.ndarray, fz: np.ndarray, dtype=jnp.float32) -> VGrid:
+    cz = np.asarray(cz, np.float64)
+    fz = np.asarray(fz, np.float64)
+    return VGrid(
+        dzc=jnp.asarray((fz[1:] - fz[:-1])[:, None, None], dtype),
+        dzf=jnp.asarray((cz[1:] - cz[:-1])[:, None, None], dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -136,20 +154,25 @@ def moist_pressure(rhot: jax.Array, q: jax.Array) -> jax.Array:
 
 
 def hydrostatic_reference(theta_prof: np.ndarray, dz: float,
-                          p_sfc: float = PRE00):
+                          p_sfc: float = PRE00,
+                          cz: np.ndarray | None = None):
     """Dry hydrostatically balanced reference column ρ̄(z), p̄(z) for a given
-    potential-temperature profile at cell centers (numpy, setup-time)."""
+    potential-temperature profile at cell centers (numpy, setup-time).
+
+    cz: optional stretched cell-center heights; None ⇒ uniform spacing dz."""
     nz = len(theta_prof)
-    p = np.zeros(nz)
+    if cz is None:
+        cz = (np.arange(nz) + 0.5) * dz
+    cz = np.asarray(cz, np.float64)
     # integrate hydrostatic balance in Exner function:
     # dπ/dz = -g/(cp θ);  π = (p/p00)^(Rd/cp)
     kappa = RD / CPDRY
     pi_sfc = (p_sfc / PRE00) ** kappa
     pi = np.zeros(nz)
-    pi[0] = pi_sfc - GRAV / (CPDRY * theta_prof[0]) * dz * 0.5
+    pi[0] = pi_sfc - GRAV / (CPDRY * theta_prof[0]) * cz[0]
     for k in range(1, nz):
         th_face = 0.5 * (theta_prof[k - 1] + theta_prof[k])
-        pi[k] = pi[k - 1] - GRAV / (CPDRY * th_face) * dz
+        pi[k] = pi[k - 1] - GRAV / (CPDRY * th_face) * (cz[k] - cz[k - 1])
     p = PRE00 * pi ** (1.0 / kappa)
     t = theta_prof * pi
     rho = p / (RD * t)
@@ -161,9 +184,13 @@ def hydrostatic_reference(theta_prof: np.ndarray, dz: float,
 # ---------------------------------------------------------------------------
 
 def tendencies(s: DycoreState, cfg: DycoreConfig,
-               rho_ref: jax.Array, p_ref: jax.Array) -> DycoreState:
-    """Flux-form tendencies. rho_ref/p_ref: (nz, 1, 1) reference column."""
+               rho_ref: jax.Array, p_ref: jax.Array,
+               vg: VGrid | None = None) -> DycoreState:
+    """Flux-form tendencies. rho_ref/p_ref: (nz, 1, 1) reference column.
+    vg: stretched vertical spacings (None ⇒ uniform cfg.dz)."""
     dx, dy, dz = cfg.dx, cfg.dy, cfg.dz
+    dzc = dz if vg is None else vg.dzc      # cell thickness (centers)
+    dzf = dz if vg is None else vg.dzf      # center spacing (interior faces)
     nz = s.rho.shape[0]
 
     q_mr = s.rhoq / jnp.maximum(s.rho, 1e-10)[None]
@@ -179,7 +206,7 @@ def tendencies(s: DycoreState, cfg: DycoreConfig,
         """Divergence at centers from face fluxes; fw_full has nz+1 levels."""
         ddx = (fx_ - _roll_x(fx_, -1)) / dx
         ddy = (fy_ - _roll_y(fy_, -1)) / dy
-        ddz = (fw_full[1:] - fw_full[:-1]) / dz
+        ddz = (fw_full[1:] - fw_full[:-1]) / dzc
         return ddx + ddy + ddz
 
     # --- continuity
@@ -215,7 +242,7 @@ def tendencies(s: DycoreState, cfg: DycoreConfig,
         u_face[:1], 0.5 * (u_face[1:] + u_face[:-1]), u_face[-1:]], axis=0)
     adv_u_z = fw_xface * u_zface
     adv_u_z = adv_u_z.at[0].set(0.0).at[-1].set(0.0)
-    dadv_u = dadv_u + (adv_u_z[1:] - adv_u_z[:-1]) / dz
+    dadv_u = dadv_u + (adv_u_z[1:] - adv_u_z[:-1]) / dzc
 
     dpx = (_roll_x(p_pert, 1) - p_pert) / dx
     drhou = -dadv_u - dpx + hyperdiff4(s.rhou, cfg.kdiff4)
@@ -232,7 +259,7 @@ def tendencies(s: DycoreState, cfg: DycoreConfig,
         v_face[:1], 0.5 * (v_face[1:] + v_face[:-1]), v_face[-1:]], axis=0)
     adv_v_z = fw_yface * v_zface
     adv_v_z = adv_v_z.at[0].set(0.0).at[-1].set(0.0)
-    dadv_v = dadv_v + (adv_v_z[1:] - adv_v_z[:-1]) / dz
+    dadv_v = dadv_v + (adv_v_z[1:] - adv_v_z[:-1]) / dzc
 
     dpy = (_roll_y(p_pert, 1) - p_pert) / dy
     drhov = -dadv_v - dpy + hyperdiff4(s.rhov, cfg.kdiff4)
@@ -245,7 +272,7 @@ def tendencies(s: DycoreState, cfg: DycoreConfig,
     # vertical advective flux of ρw at cell centers k = 0..nz-1
     fw_c = 0.5 * (s.rhow[1:] + s.rhow[:-1])          # mass flux at centers
     adv_w_z = fw_c * 0.5 * (w_full[1:] + w_full[:-1])
-    dadv_w = (adv_w_z[1:] - adv_w_z[:-1]) / dz       # at interior faces
+    dadv_w = (adv_w_z[1:] - adv_w_z[:-1]) / dzf      # at interior faces
     # horizontal advection of ρw
     fx_zface = 0.5 * (fx[1:] + fx[:-1])              # x-face, interior z-face
     adv_w_x = fx_zface * 0.5 * (w_face + _roll_x(w_face, 1))
@@ -254,7 +281,7 @@ def tendencies(s: DycoreState, cfg: DycoreConfig,
     adv_w_y = fy_zface * 0.5 * (w_face + _roll_y(w_face, 1))
     dadv_w = dadv_w + (adv_w_y - _roll_y(adv_w_y, -1)) / dy
 
-    dpz = (p_pert[1:] - p_pert[:-1]) / dz
+    dpz = (p_pert[1:] - p_pert[:-1]) / dzf
     rho_pert_face = 0.5 * ((s.rho - rho_ref)[1:] + (s.rho - rho_ref)[:-1])
     buoy = -rho_pert_face * GRAV
     drhow_int = -dadv_w - dpz + buoy + hyperdiff4(s.rhow[1:-1], cfg.kdiff4)
@@ -267,8 +294,8 @@ def tendencies(s: DycoreState, cfg: DycoreConfig,
         div = div_center(fx, fy, s.rhow)
         drhou = drhou + alpha * (_roll_x(div, 1) - div) / dx
         drhov = drhov + alpha * (_roll_y(div, 1) - div) / dy
-        alpha_z = cfg.divdmp * dz * dz / cfg.dt
-        drhow = drhow.at[1:-1].add(alpha_z * (div[1:] - div[:-1]) / dz)
+        alpha_z = cfg.divdmp * dzf * dzf / cfg.dt
+        drhow = drhow.at[1:-1].add(alpha_z * (div[1:] - div[:-1]) / dzf)
 
     return DycoreState(rho=drho, rhou=drhou, rhov=drhov, rhow=drhow,
                        rhot=drhot, rhoq=drhoq)
@@ -288,9 +315,11 @@ def rayleigh_sponge(s: DycoreState, s0: DycoreState, cfg: DycoreConfig,
     coef_c = jnp.where(z_center > zs,
                        jnp.sin(0.5 * jnp.pi * (z_center - zs) / (ztop - zs)) ** 2,
                        0.0) / cfg.sponge_tau
-    z_face = jnp.concatenate([z_center[:1] - cfg.dz * 0.5,
+    dz_lo = z_center[1] - z_center[0]
+    dz_hi = z_center[-1] - z_center[-2]
+    z_face = jnp.concatenate([z_center[:1] - dz_lo * 0.5,
                               0.5 * (z_center[1:] + z_center[:-1]),
-                              z_center[-1:] + cfg.dz * 0.5])
+                              z_center[-1:] + dz_hi * 0.5])
     coef_f = jnp.where(z_face > zs,
                        jnp.sin(0.5 * jnp.pi * jnp.clip(
                            (z_face - zs) / (ztop - zs), 0, 1)) ** 2,
@@ -304,24 +333,25 @@ def rayleigh_sponge(s: DycoreState, s0: DycoreState, cfg: DycoreConfig,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def rk3_step(s: DycoreState, cfg: DycoreConfig, rho_ref: jax.Array,
-             p_ref: jax.Array, z_center: jax.Array) -> DycoreState:
+             p_ref: jax.Array, z_center: jax.Array,
+             vg: VGrid | None = None) -> DycoreState:
     """One Wicker–Skamarock RK3 step: s1 = s + dt/3 f(s); s2 = s + dt/2 f(s1);
     s3 = s + dt f(s2); then Rayleigh sponge."""
     dt = cfg.dt
-    f1 = tendencies(s, cfg, rho_ref, p_ref)
+    f1 = tendencies(s, cfg, rho_ref, p_ref, vg)
     s1 = _axpy(s, f1, 1.0 / 3.0, dt)
-    f2 = tendencies(s1, cfg, rho_ref, p_ref)
+    f2 = tendencies(s1, cfg, rho_ref, p_ref, vg)
     s2 = _axpy(s, f2, 0.5, dt)
-    f3 = tendencies(s2, cfg, rho_ref, p_ref)
+    f3 = tendencies(s2, cfg, rho_ref, p_ref, vg)
     s3 = _axpy(s, f3, 1.0, dt)
     return rayleigh_sponge(s3, s, cfg, z_center, dt)
 
 
 def integrate(s: DycoreState, cfg: DycoreConfig, rho_ref, p_ref, z_center,
-              nsteps: int) -> DycoreState:
+              nsteps: int, vg: VGrid | None = None) -> DycoreState:
     """nsteps RK3 steps under lax.scan (single trace, static shapes)."""
     def body(carry, _):
-        return rk3_step(carry, cfg, rho_ref, p_ref, z_center), None
+        return rk3_step(carry, cfg, rho_ref, p_ref, z_center, vg), None
     out, _ = jax.lax.scan(body, s, None, length=nsteps)
     return out
 

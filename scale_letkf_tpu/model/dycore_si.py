@@ -33,8 +33,8 @@ import jax.numpy as jnp
 
 from scale_letkf_tpu.constants import RD, CVDRY, PRE00, GRAV
 from scale_letkf_tpu.model.dycore import (
-    DycoreConfig, DycoreState, tendencies, rayleigh_sponge, moist_pressure,
-    _roll_x, _roll_y,
+    DycoreConfig, DycoreState, VGrid, tendencies, rayleigh_sponge,
+    moist_pressure, _roll_x, _roll_y,
 )
 
 CPDRY = RD + CVDRY
@@ -90,10 +90,17 @@ def acoustic_substeps(
     split: SplitConfig,
     n_steps: int,
     dt_stage: float,
+    vg: VGrid | None = None,
 ):
     """Integrate the acoustic system for dt_stage = n_steps·dτ, linearized
-    around s_stage, starting from s_start; returns the updated full state."""
+    around s_stage, starting from s_start; returns the updated full state.
+
+    vg: stretched vertical spacings (None ⇒ uniform cfg.dz); the implicit
+    vertical operator uses dzc (cell thickness) for flux divergences at
+    centers and dzf (center spacing) at interior faces."""
     dx, dy, dz = cfg.dx, cfg.dy, cfg.dz
+    dzc = dz if vg is None else vg.dzc          # (nz,1,1) or scalar
+    dzf = dz if vg is None else vg.dzf          # (nz-1,1,1) or scalar
     dtau = dt_stage / n_steps
     beta = split.beta
 
@@ -109,8 +116,14 @@ def acoustic_substeps(
         theta0[:1], 0.5 * (theta0[1:] + theta0[:-1]), theta0[-1:]], axis=0)
     nz = rho0.shape[0]
 
-    alpha = dtau * beta / dz
     g_half = dtau * beta * GRAV * 0.5
+    abf = dtau * beta / dzf                     # at interior faces
+    abc = dtau * beta / dzc                     # at centers
+    if vg is None:
+        abc_up = abc_dn = abc
+    else:
+        abc_up = abc[1:]      # center k (above face k)
+        abc_dn = abc[:-1]     # center k-1
 
     # tridiagonal coefficients for interior faces k = 1..nz-1 (static)
     c2_up = c2[1:]        # center k (above face k)
@@ -118,9 +131,14 @@ def acoustic_substeps(
     tf_mid = theta_face[1:-1]
     tf_up = theta_face[2:]
     tf_dn = theta_face[:-2]
-    b_diag = 1.0 + alpha**2 * tf_mid * (c2_up + c2_dn)
-    c_sup = -(alpha**2) * c2_up * tf_up - g_half * (dtau * beta / dz)
-    a_sub = -(alpha**2) * c2_dn * tf_dn + g_half * (dtau * beta / dz)
+    b_diag = (1.0 + abf * tf_mid * (c2_up * abc_up + c2_dn * abc_dn)
+              + g_half * (abc_up - abc_dn))
+    c_sup = -abf * c2_up * abc_up * tf_up - g_half * abc_up
+    a_sub = -abf * c2_dn * abc_dn * tf_dn + g_half * abc_dn
+    if vg is None:
+        b_diag = b_diag * jnp.ones_like(tf_mid)
+        c_sup = c_sup * jnp.ones_like(tf_mid)
+        a_sub = a_sub * jnp.ones_like(tf_mid)
 
     def substep(carry, _):
         drho, drhou, drhov, drhow, drhot = carry
@@ -144,22 +162,22 @@ def acoustic_substeps(
 
         # explicit parts of ρ'' and ρθ'' (include (1-β) old vertical flux)
         w_old = drhow
-        dflux_w = (w_old[1:] - w_old[:-1]) / dz
+        dflux_w = (w_old[1:] - w_old[:-1]) / dzc
         wth_old = w_old * theta_face
-        dflux_wth = (wth_old[1:] - wth_old[:-1]) / dz
+        dflux_wth = (wth_old[1:] - wth_old[:-1]) / dzc
         rho_exp = drho + dtau * (slow.rho - div_h) \
             - dtau * (1 - beta) * dflux_w
         rhot_exp = drhot + dtau * (slow.rhot - div_h_th) \
             - dtau * (1 - beta) * dflux_wth
 
         # RHS for interior faces
-        dp_z = (dp[1:] - dp[:-1]) / dz
+        dp_z = (dp[1:] - dp[:-1]) / dzf
         rho_face_old = 0.5 * (drho[1:] + drho[:-1])
         d_rhs = (w_old[1:-1]
                  + dtau * slow.rhow[1:-1]
                  - dtau * (1 - beta) * (dp_z + GRAV * rho_face_old)
-                 - (dtau * beta / dz) * (c2_up * rhot_exp[1:]
-                                         - c2_dn * rhot_exp[:-1])
+                 - abf * (c2_up * rhot_exp[1:]
+                          - c2_dn * rhot_exp[:-1])
                  - g_half * (rho_exp[1:] + rho_exp[:-1]))
 
         w_new_int = _thomas_solve(a_sub, b_diag, c_sup, d_rhs)
@@ -167,9 +185,9 @@ def acoustic_substeps(
         w_new = jnp.concatenate([zeros, w_new_int, zeros], axis=0)
 
         # implicit corrections to ρ'' and ρθ''
-        drho = rho_exp - (dtau * beta / dz) * (w_new[1:] - w_new[:-1])
+        drho = rho_exp - abc * (w_new[1:] - w_new[:-1])
         wth_new = w_new * theta_face
-        drhot = rhot_exp - (dtau * beta / dz) * (wth_new[1:] - wth_new[:-1])
+        drhot = rhot_exp - abc * (wth_new[1:] - wth_new[:-1])
         return (drho, drhou, drhov, w_new, drhot), None
 
     init = (s_start.rho - rho0, s_start.rhou - s_stage.rhou,
@@ -189,14 +207,30 @@ def acoustic_substeps(
 @partial(jax.jit, static_argnames=("cfg", "split", "n_small"))
 def rk3_step_si(s: DycoreState, cfg: DycoreConfig, split: SplitConfig,
                 rho_ref: jax.Array, p_ref: jax.Array, z_center: jax.Array,
-                n_small: int) -> DycoreState:
+                n_small: int, vg: VGrid | None = None,
+                metrics=None) -> DycoreState:
     """One split-explicit RK3 step of length cfg.dt with n_small acoustic
-    substeps in the final stage (earlier stages use proportionally fewer)."""
+    substeps in the final stage (earlier stages use proportionally fewer).
+
+    metrics: optional TerrainMetrics — the SLOW tendencies then carry the
+    full terrain-following metric terms (model/terrain.py) while the
+    acoustic operator stays flat-metric (the standard approximation for
+    gentle terrain: the acoustic deviations are linearized around the stage
+    state without Gx/Gy corrections; J ≈ 1 − h/H enters only through the
+    slow forcing)."""
     dt = cfg.dt
 
+    def slow_tend(s_from):
+        if metrics is not None:
+            from scale_letkf_tpu.model.terrain import tendencies_terrain
+            return tendencies_terrain(s_from, cfg, rho_ref, p_ref, metrics,
+                                      vg=vg)
+        return tendencies(s_from, cfg, rho_ref, p_ref, vg)
+
     def stage(s_from, dt_stage, ns):
-        slow = tendencies(s_from, cfg, rho_ref, p_ref)
-        return acoustic_substeps(s, s_from, slow, cfg, split, ns, dt_stage)
+        slow = slow_tend(s_from)
+        return acoustic_substeps(s, s_from, slow, cfg, split, ns, dt_stage,
+                                 vg=vg)
 
     ns1 = max(1, n_small // 3)
     ns2 = max(1, n_small // 2)
@@ -206,9 +240,10 @@ def rk3_step_si(s: DycoreState, cfg: DycoreConfig, split: SplitConfig,
     return rayleigh_sponge(s3, s, cfg, z_center, dt)
 
 
-def integrate_si(s, cfg, split, rho_ref, p_ref, z_center, nsteps, n_small):
+def integrate_si(s, cfg, split, rho_ref, p_ref, z_center, nsteps, n_small,
+                 vg: VGrid | None = None, metrics=None):
     def body(carry, _):
         return rk3_step_si(carry, cfg, split, rho_ref, p_ref, z_center,
-                           n_small), None
+                           n_small, vg, metrics), None
     out, _ = jax.lax.scan(body, s, None, length=nsteps)
     return out

@@ -23,25 +23,28 @@ CPDRY = RD + CVDRY
 
 
 def standard_theta_profile(nz: int, dz: float, theta0: float = 300.0,
-                           dthdz: float = 0.004) -> np.ndarray:
+                           dthdz: float = 0.004,
+                           cz: np.ndarray | None = None) -> np.ndarray:
     """Weakly stable boundary-layer θ profile at cell centers."""
-    z = (np.arange(nz) + 0.5) * dz
+    z = (np.arange(nz) + 0.5) * dz if cz is None else np.asarray(cz)
     return theta0 + dthdz * z
 
 
 def balanced_state(nz: int, ny: int, nx: int, dz: float,
                    theta_prof: np.ndarray | None = None,
                    qv_prof: np.ndarray | None = None,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32,
+                   cz: np.ndarray | None = None):
     """Hydrostatically balanced horizontally uniform base state.
 
     Returns (DycoreState, rho_ref, p_ref) with reference columns shaped
     (nz, 1, 1). The reference pressure is defined through the same EOS the
     dycore uses, so the base state is exactly steady (see dycore.tendencies).
+    cz: optional stretched cell-center heights (Grid.stretched).
     """
     if theta_prof is None:
-        theta_prof = standard_theta_profile(nz, dz)
-    rho1d, p1d = hydrostatic_reference(theta_prof, dz)
+        theta_prof = standard_theta_profile(nz, dz, cz=cz)
+    rho1d, p1d = hydrostatic_reference(theta_prof, dz, cz=cz)
     rho = jnp.asarray(np.tile(rho1d[:, None, None], (1, ny, nx)), dtype)
     rhot = jnp.asarray(np.tile((rho1d * theta_prof)[:, None, None],
                                (1, ny, nx)), dtype)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from scale_letkf_tpu.constants import GRAV
 from scale_letkf_tpu.model.dycore import (
-    DycoreConfig, DycoreState, moist_pressure, ud3_face_x, ud3_face_y,
+    DycoreConfig, DycoreState, VGrid, moist_pressure, ud3_face_x, ud3_face_y,
     ud3_face_z, hyperdiff4, _roll_x, _roll_y, rayleigh_sponge, _axpy,
 )
 
@@ -81,10 +81,13 @@ def contravariant_w(s: DycoreState, m: TerrainMetrics) -> jax.Array:
 
 def tendencies_terrain(s: DycoreState, cfg: DycoreConfig,
                        rho_ref: jax.Array, p_ref: jax.Array,
-                       m: TerrainMetrics) -> DycoreState:
+                       m: TerrainMetrics,
+                       vg: VGrid | None = None) -> DycoreState:
     """Flux-form tendencies with terrain metrics. Reduces to the flat core
-    when topo ≡ 0 (J = 1, Gx = Gy = 0)."""
+    when topo ≡ 0 (J = 1, Gx = Gy = 0). vg: stretched vertical spacings."""
     dx, dy, dz = cfg.dx, cfg.dy, cfg.dz
+    dzc = dz if vg is None else vg.dzc
+    dzf = dz if vg is None else vg.dzf
     jac = m.jac[None]                      # broadcast over z
 
     q_mr = s.rhoq / jnp.maximum(s.rho, 1e-10)[None]
@@ -102,7 +105,7 @@ def tendencies_terrain(s: DycoreState, cfg: DycoreConfig,
     def div_center(fx_, fy_, fw_full):
         ddx = (fx_ - _roll_x(fx_, -1)) / dx
         ddy = (fy_ - _roll_y(fy_, -1)) / dy
-        ddz = (fw_full[1:] - fw_full[:-1]) / dz
+        ddz = (fw_full[1:] - fw_full[:-1]) / dzc
         return (ddx + ddy + ddz) / jac
 
     drho = -div_center(fx, fy, rgw)
@@ -135,15 +138,21 @@ def tendencies_terrain(s: DycoreState, cfg: DycoreConfig,
         u_face[:1], 0.5 * (u_face[1:] + u_face[:-1]), u_face[-1:]], axis=0)
     adv_u_z = rgw_xface * u_zface
     adv_u_z = adv_u_z.at[0].set(0.0).at[-1].set(0.0)
-    dadv_u = dadv_u + (adv_u_z[1:] - adv_u_z[:-1]) / dz
+    dadv_u = dadv_u + (adv_u_z[1:] - adv_u_z[:-1]) / dzc
     dadv_u = dadv_u / jac_xf
 
     # PG at x-faces: ∂p'/∂x|_ζ − (Gx/J)·∂p'/∂ζ
     dpx = (_roll_x(p_pert, 1) - p_pert) / dx
-    dp_dz_c = jnp.concatenate([
-        (p_pert[1:2] - p_pert[0:1]),
-        0.5 * (p_pert[2:] - p_pert[:-2]),
-        (p_pert[-1:] - p_pert[-2:-1])], axis=0) / dz
+    if vg is None:
+        dp_dz_c = jnp.concatenate([
+            (p_pert[1:2] - p_pert[0:1]),
+            0.5 * (p_pert[2:] - p_pert[:-2]),
+            (p_pert[-1:] - p_pert[-2:-1])], axis=0) / dz
+    else:
+        dp_dz_c = jnp.concatenate([
+            (p_pert[1:2] - p_pert[0:1]) / dzf[:1],
+            (p_pert[2:] - p_pert[:-2]) / (dzf[1:] + dzf[:-1]),
+            (p_pert[-1:] - p_pert[-2:-1]) / dzf[-1:]], axis=0)
     dp_dz_xf = 0.5 * (dp_dz_c + _roll_x(dp_dz_c, 1))
     dpx_full = dpx - m.gx / jac_xf * dp_dz_xf
     drhou = -dadv_u - dpx_full + hyperdiff4(s.rhou, cfg.kdiff4)
@@ -159,7 +168,7 @@ def tendencies_terrain(s: DycoreState, cfg: DycoreConfig,
         v_face[:1], 0.5 * (v_face[1:] + v_face[:-1]), v_face[-1:]], axis=0)
     adv_v_z = rgw_yface * v_zface
     adv_v_z = adv_v_z.at[0].set(0.0).at[-1].set(0.0)
-    dadv_v = dadv_v + (adv_v_z[1:] - adv_v_z[:-1]) / dz
+    dadv_v = dadv_v + (adv_v_z[1:] - adv_v_z[:-1]) / dzc
     dadv_v = dadv_v / jac_yf
 
     dpy = (_roll_y(p_pert, 1) - p_pert) / dy
@@ -174,7 +183,7 @@ def tendencies_terrain(s: DycoreState, cfg: DycoreConfig,
     w_face = w_full[1:-1]
     fw_c = 0.5 * (rgw[1:] + rgw[:-1])
     adv_w_z = fw_c * 0.5 * (w_full[1:] + w_full[:-1])
-    dadv_w = (adv_w_z[1:] - adv_w_z[:-1]) / dz
+    dadv_w = (adv_w_z[1:] - adv_w_z[:-1]) / dzf
     fx_zface = 0.5 * (fx[1:] + fx[:-1])
     adv_w_x = fx_zface * 0.5 * (w_face + _roll_x(w_face, 1))
     dadv_w = dadv_w + (adv_w_x - _roll_x(adv_w_x, -1)) / dx
@@ -184,7 +193,7 @@ def tendencies_terrain(s: DycoreState, cfg: DycoreConfig,
     dadv_w = dadv_w / jac[:1]
 
     # vertical PG: (1/J)·∂p'/∂ζ
-    dpz = (p_pert[1:] - p_pert[:-1]) / dz / m.jac[None]
+    dpz = (p_pert[1:] - p_pert[:-1]) / dzf / m.jac[None]
     rho_pert_face = 0.5 * ((s.rho - rho_ref)[1:] + (s.rho - rho_ref)[:-1])
     buoy = -rho_pert_face * GRAV
     drhow_int = -dadv_w - dpz + buoy + hyperdiff4(s.rhow[1:-1], cfg.kdiff4)
@@ -196,20 +205,21 @@ def tendencies_terrain(s: DycoreState, cfg: DycoreConfig,
         div = div_center(fx, fy, rgw)
         drhou = drhou + alpha * (_roll_x(div, 1) - div) / dx
         drhov = drhov + alpha * (_roll_y(div, 1) - div) / dy
-        alpha_z = cfg.divdmp * dz * dz / cfg.dt
-        drhow = drhow.at[1:-1].add(alpha_z * (div[1:] - div[:-1]) / dz)
+        alpha_z = cfg.divdmp * dzf * dzf / cfg.dt
+        drhow = drhow.at[1:-1].add(alpha_z * (div[1:] - div[:-1]) / dzf)
 
     return DycoreState(rho=drho, rhou=drhou, rhov=drhov, rhow=drhow,
                        rhot=drhot, rhoq=drhoq)
 
 
 def rk3_step_terrain(s: DycoreState, cfg: DycoreConfig, rho_ref, p_ref,
-                     z_center, m: TerrainMetrics) -> DycoreState:
+                     z_center, m: TerrainMetrics,
+                     vg: VGrid | None = None) -> DycoreState:
     dt = cfg.dt
-    f1 = tendencies_terrain(s, cfg, rho_ref, p_ref, m)
+    f1 = tendencies_terrain(s, cfg, rho_ref, p_ref, m, vg=vg)
     s1 = _axpy(s, f1, 1.0 / 3.0, dt)
-    f2 = tendencies_terrain(s1, cfg, rho_ref, p_ref, m)
+    f2 = tendencies_terrain(s1, cfg, rho_ref, p_ref, m, vg=vg)
     s2 = _axpy(s, f2, 0.5, dt)
-    f3 = tendencies_terrain(s2, cfg, rho_ref, p_ref, m)
+    f3 = tendencies_terrain(s2, cfg, rho_ref, p_ref, m, vg=vg)
     s3 = _axpy(s, f3, 1.0, dt)
     return rayleigh_sponge(s3, s, cfg, z_center, dt)

@@ -298,6 +298,59 @@ def read_obs_da(path: str, n: int):
 
 
 # ---------------------------------------------------------------------------
+# obsdep files — write_obs_dep (common_obs_scale.f90:2354): 11-column f32
+# sequential records (elm, lon, lat, lev, dat, err, typ, dif, qc, omb, oma)
+# with the reference's output unit conversions
+# ---------------------------------------------------------------------------
+
+def write_obs_dep(path: str, elem, lon, lat, lev, dat, err, typ, dif,
+                  qc, omb, oma):
+    """Reference-binary obsdep output for offline scoring tools."""
+    elem = np.asarray(elem)
+    wk = np.stack([
+        elem.astype(np.float32),
+        np.asarray(lon, np.float32), np.asarray(lat, np.float32),
+        np.asarray(lev, np.float32), np.asarray(dat, np.float32),
+        np.asarray(err, np.float32), np.asarray(typ, np.float32),
+        np.asarray(dif, np.float32), np.asarray(qc, np.float32),
+        np.asarray(omb, np.float32), np.asarray(oma, np.float32)],
+        axis=1)
+    m = np.isin(elem, _HPA_LEV_IDS)
+    wk[m, 3] *= 0.01                       # Pa -> hPa levels
+    ps = elem == ID_PS
+    wk[ps, 4] *= 0.01                      # Pa -> hPa PS values
+    wk[ps, 5] *= 0.01
+    rh = elem == ID_RH
+    wk[rh, 4] *= 100.0                     # fraction -> percent
+    wk[rh, 5] *= 100.0
+    tcp = elem == ID_TCMIP
+    wk[tcp, 4] *= 0.01
+    wk[tcp, 5] *= 0.01
+    write_records(path, wk)
+
+
+def read_obs_dep(path: str):
+    """Read an obsdep file back; returns the 11 columns with units
+    restored to SI (inverse of write_obs_dep's conversions)."""
+    wk = read_records(path, 0, 11).astype(np.float64)
+    elem = wk[:, 0].astype(np.int32)
+    m = np.isin(elem, _HPA_LEV_IDS)
+    wk[m, 3] *= 100.0
+    ps = elem == ID_PS
+    wk[ps, 4] *= 100.0
+    wk[ps, 5] *= 100.0
+    rh = elem == ID_RH
+    wk[rh, 4] /= 100.0
+    wk[rh, 5] /= 100.0
+    tcp = elem == ID_TCMIP
+    wk[tcp, 4] *= 100.0
+    wk[tcp, 5] *= 100.0
+    return (elem, wk[:, 1], wk[:, 2], wk[:, 3], wk[:, 4], wk[:, 5],
+            wk[:, 6].astype(np.int32), wk[:, 7],
+            wk[:, 8].astype(np.int32), wk[:, 9], wk[:, 10])
+
+
+# ---------------------------------------------------------------------------
 # Dispatcher (read_obs_all analogue)
 # ---------------------------------------------------------------------------
 

@@ -49,12 +49,60 @@ def build_buckets(
     x0: float, y0: float, x1: float, y1: float,
     spacing: float,
     min_capacity: int = 4,
+    max_capacity: int = 0,
+    index_map: np.ndarray | None = None,
 ) -> BucketGrid:
     """Host-side counting sort of obs into mesh cells
     (letkf_obs.f90:746-806 analogue). Capacity = max cell count (rounded up
-    to a multiple of 4) so nothing is dropped unless min_capacity forces it."""
+    to a multiple of 4) so nothing is dropped unless min_capacity forces it.
+
+    max_capacity > 0 bounds the per-cell capacity INDEPENDENTLY of the
+    global max cell count — the HBM-capacity analogue of the reference's
+    incremental-radius obs-number limit (letkf_tools.f90:1479-1617): cells
+    holding more obs are stratified-thinned (every n/cap-th obs in stable
+    order, spatially unbiased for ray/file-ordered radar volumes) and the
+    dropped count is reported in n_dropped. With a per-gridpoint top-k
+    limit of L obs, cap ≈ 2·L keeps the selection near-exact while the
+    candidate width stays 9·cap regardless of obs density.
+
+    index_map: optional (nobs,) mapping from local to global obs ids,
+    applied to the stored table entries."""
     nx = max(1, int(np.ceil((x1 - x0) / spacing)))
     ny = max(1, int(np.ceil((y1 - y0) / spacing)))
+
+    n_prethinned = 0
+    if max_capacity > 0 and len(x) > 0:
+        # stratified pre-thinning of overflowing cells (vectorized)
+        ci0 = np.clip(((x - x0) / spacing).astype(np.int64), 0, nx - 1)
+        cj0 = np.clip(((y - y0) / spacing).astype(np.int64), 0, ny - 1)
+        flat0 = cj0 * nx + ci0
+        order = np.argsort(flat0, kind="stable")
+        sf = flat0[order]
+        counts = np.bincount(flat0, minlength=nx * ny)
+        # position of each (sorted) obs within its cell
+        first_of_cell = np.zeros(nx * ny, np.int64)
+        np.cumsum(counts[:-1], out=first_of_cell[1:])
+        pos = np.arange(len(x)) - first_of_cell[sf]
+        n_cell = counts[sf]
+        cap = max_capacity
+        keep_sorted = ((pos + 1) * cap) // np.maximum(n_cell, 1) \
+            > (pos * cap) // np.maximum(n_cell, 1)
+        keep_sorted |= n_cell <= cap
+        keep = np.zeros(len(x), bool)
+        keep[order] = keep_sorted
+        n_prethinned = int((~keep).sum())
+        if n_prethinned:
+            x = x[keep]
+            y = y[keep]
+            index_map = (index_map[keep] if index_map is not None
+                         else np.nonzero(keep)[0].astype(np.int32))
+
+    def _remap(table):
+        if index_map is None:
+            return table
+        return np.where(table >= 0,
+                        index_map[np.clip(table, 0, None)], -1).astype(
+            np.int32)
 
     from scale_letkf_tpu.utils import native
     lib = native.load()
@@ -72,9 +120,10 @@ def build_buckets(
             xd.ctypes.data_as(pd), yd.ctypes.data_as(pd), len(x),
             x0, y0, spacing, spacing, nx, ny, cap,
             table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-        return BucketGrid(table=table.reshape(ny, nx, cap), x0=x0, y0=y0,
+        return BucketGrid(table=_remap(table.reshape(ny, nx, cap)),
+                          x0=x0, y0=y0,
                           spacing_x=spacing, spacing_y=spacing,
-                          n_dropped=int(dropped))
+                          n_dropped=int(dropped) + n_prethinned)
 
     ci = np.clip(((x - x0) / spacing).astype(np.int64), 0, nx - 1)
     cj = np.clip(((y - y0) / spacing).astype(np.int64), 0, ny - 1)
@@ -94,9 +143,10 @@ def build_buckets(
             slot[c] = s + 1
         else:
             dropped += 1
-    return BucketGrid(table=table.reshape(ny, nx, cap), x0=x0, y0=y0,
+    return BucketGrid(table=_remap(table.reshape(ny, nx, cap)),
+                      x0=x0, y0=y0,
                       spacing_x=spacing, spacing_y=spacing,
-                      n_dropped=dropped)
+                      n_dropped=dropped + n_prethinned)
 
 
 def gather_candidates(grid: BucketGrid, gx: jax.Array, gy: jax.Array) -> jax.Array:

@@ -151,26 +151,59 @@ def relative_humidity(temp: jax.Array, pres: jax.Array, qv: jax.Array) -> jax.Ar
     return 100.0 * qv / qs
 
 
-def state_to_history(anal: jax.Array, z_full: jax.Array) -> dict[str, jax.Array]:
+def state_to_history(anal: jax.Array, z_full: jax.Array,
+                     topo: jax.Array | None = None,
+                     z0: float = 1.0e-2) -> dict[str, jax.Array]:
     """Analysis variables → obs-operator field view
     (reference: common_scale.f90:1292-1404).
 
     anal:   (..., NV3D, nz, ny, nx) analysis-variable stack
     z_full: (nz, ny, nx) terrain-following heights from Grid.calc_z
+    topo:   (ny, nx) surface height (None ⇒ flat, topo = 0)
     Returns a dict of named fields; 3-D: u,v,w,t,p,q,qc,qr,qi,qs,qg,rh,hgt;
-    2-D surface diagnostics use the first model level like the reference
-    (ps, u10m, v10m, t2m, q2m) plus topo = first-level height.
+    2-D surface diagnostics (the reference's nv2dd set, read from the
+    external model's history output, common_scale.f90:60-98) are DIAGNOSED
+    from the lowest-level state:
+      ps   — hydrostatic extrapolation to the surface with the level-1
+             virtual temperature
+      t2m  — dry-adiabatic (θ-conserving) reduction to 2 m above ground
+      u10m/v10m — neutral logarithmic wind-profile reduction to 10 m
+      q2m  — level-1 specific humidity (well-mixed surface layer)
+    replacing the level-0 copies of earlier versions; when a surface/land
+    model carries a skin state, model/surface.py's surface_fluxes provides
+    the stability-corrected versions of the same diagnostics.
     """
     names3d = ("u", "v", "w", "t", "p", "q", "qc", "qr", "qi", "qs", "qg")
     f = {n: anal[..., i, :, :, :] for i, n in enumerate(names3d)}
     f["rh"] = relative_humidity(f["t"], f["p"], f["q"])
     f["hgt"] = jnp.broadcast_to(z_full, anal.shape[:-4] + z_full.shape)
-    f["topo"] = f["hgt"][..., 0, :, :]
-    f["ps"] = f["p"][..., 0, :, :]
-    f["u10m"] = f["u"][..., 0, :, :]
-    f["v10m"] = f["v"][..., 0, :, :]
-    f["t2m"] = f["t"][..., 0, :, :]
-    f["q2m"] = f["q"][..., 0, :, :]
+
+    from scale_letkf_tpu.constants import GRAV, FVIRT
+    if topo is None:
+        topo = jnp.zeros(z_full.shape[-2:], z_full.dtype)
+    else:
+        topo = jnp.asarray(topo, z_full.dtype)
+    f["topo"] = jnp.broadcast_to(topo, anal.shape[:-4] + topo.shape)
+
+    t1 = f["t"][..., 0, :, :]
+    p1 = f["p"][..., 0, :, :]
+    qv1 = jnp.maximum(f["q"][..., 0, :, :], 0.0)
+    u1 = f["u"][..., 0, :, :]
+    v1 = f["v"][..., 0, :, :]
+    z1 = jnp.maximum(z_full[0] - topo, 1.0)      # level-1 height above ground
+    tv1 = t1 * (1.0 + FVIRT * qv1)
+
+    kappa = RD / (RD + CVDRY)
+    ps = p1 * jnp.exp(GRAV * z1 / (RD * tv1))
+    th1 = t1 * (PRE00 / p1) ** kappa
+    p2m = ps * jnp.exp(-GRAV * 2.0 / (RD * tv1))
+    f["ps"] = ps
+    f["t2m"] = th1 * (p2m / PRE00) ** kappa
+    r10 = jnp.clip(jnp.log(10.0 / z0)
+                   / jnp.log(jnp.maximum(z1, 2.0 * z0) / z0), 0.0, 1.0)
+    f["u10m"] = u1 * r10
+    f["v10m"] = v1 * r10
+    f["q2m"] = qv1
     return f
 
 

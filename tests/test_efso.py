@@ -80,3 +80,58 @@ def test_efso_localization_kills_remote_obs():
                      jnp.asarray(pert), jnp.asarray(err), grid,
                      hori_scale=4e3)
     np.testing.assert_allclose(float(dj[0]), 0.0, atol=1e-10)
+
+
+def test_advected_localization_shifts_sampling():
+    """With advection, an obs samples the localized field downstream of
+    itself (loc_advection, efso_tools.f90:158)."""
+    import jax.numpy as jnp
+    from scale_letkf_tpu.da.efso import advected_obs_coords
+    nz, ny, nx = 4, 12, 12
+    grid = Grid.uniform(nx=nx, ny=ny, nz=nz, dx=2e3, dy=2e3, dz=500.0)
+    u = jnp.full((nz, ny, nx), 10.0)       # uniform 10 m/s westerly
+    v = jnp.zeros((nz, ny, nx))
+    ri = jnp.asarray([5.0])
+    rj = jnp.asarray([6.0])
+    rk = jnp.asarray([1.0])
+    ri2, rj2 = advected_obs_coords(ri, rj, rk, u, v, grid,
+                                   adv_time=600.0, locadv_rate=1.0)
+    # 10 m/s × 600 s = 6 km = 3 cells downstream in x, none in y
+    np.testing.assert_allclose(np.asarray(ri2), [8.0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rj2), [6.0], atol=1e-6)
+
+
+def test_efso_impact_with_advection_moves_sensitivity():
+    """An error feature downstream of the obs is only attributed to the obs
+    when advected localization carries the sampling there."""
+    rng = np.random.default_rng(1)
+    K, nz, ny, nx = 8, 2, 16, 16
+    grid = Grid.uniform(nx=nx, ny=ny, nz=nz, dx=2e3, dy=2e3, dz=500.0)
+    pert = np.zeros((K, NV3D, nz, ny, nx), np.float32)
+    err = np.zeros((NV3D, nz, ny, nx), np.float32)
+    # feature (perturbations + error) localized at x-index 13; obs at 3
+    feat = np.exp(-0.5 * ((np.arange(nx) - 13.0) / 1.0) ** 2)
+    sgn = rng.choice([-1.0, 1.0], K)
+    pert[:, IA_T] = (sgn[:, None, None, None]
+                     * feat[None, None, None, :])
+    err[IA_T] = feat[None, None, :]
+    hdxa = np.asarray(sgn)[None, :] * np.ones((1, K))
+    obs_ri = jnp.asarray([3.0])
+    obs_rj = jnp.asarray([8.0])
+    obs_rk = jnp.asarray([0.5])
+    dep = jnp.asarray([1.0])
+    rdiag = jnp.asarray([1.0])
+    kw = dict(hori_scale=3.0e3, vert_scale_cells=0.0)
+    dj0 = efso_impact(obs_ri, obs_rj, obs_rk, dep, rdiag,
+                      jnp.asarray(hdxa), jnp.asarray(pert),
+                      jnp.asarray(err), grid, **kw)
+    u = jnp.full((nz, ny, nx), (10.0 * 2e3) / 600.0)  # carries 3 → 13
+    v = jnp.zeros((nz, ny, nx))
+    dj1 = efso_impact(obs_ri, obs_rj, obs_rk, dep, rdiag,
+                      jnp.asarray(hdxa), jnp.asarray(pert),
+                      jnp.asarray(err), grid,
+                      u_adv=u, v_adv=v, adv_time=600.0, **kw)
+    # essentially no overlap without advection; the advected sampling
+    # attributes the downstream feature to the obs
+    assert abs(float(dj1[0])) > 50.0 * abs(float(dj0[0]))
+    assert abs(float(dj1[0])) > 1e-3

@@ -138,3 +138,43 @@ def test_obsda_round_trip(tmp_path):
     np.testing.assert_array_equal(i2, idx)
     np.testing.assert_array_equal(v2, val)
     np.testing.assert_array_equal(q2, qc)
+
+
+def test_obs_dep_roundtrip():
+    """Binary obsdep format (write_obs_dep, common_obs_scale.f90:2354):
+    11-column f32 records with Pa→hPa / RH-percent output conversions."""
+    import numpy as np
+    from scale_letkf_tpu.obs import io as obsio
+    from scale_letkf_tpu.obs.types import ID_T, ID_PS, ID_RH
+    import tempfile, os
+    elem = np.asarray([ID_T, ID_PS, ID_RH], np.int32)
+    lon = np.asarray([135.0, 136.0, 137.0])
+    lat = np.asarray([35.0, 34.0, 33.0])
+    lev = np.asarray([850e2, 10.0, 700e2])
+    dat = np.asarray([280.0, 1000e2, 0.55])
+    err = np.asarray([1.0, 100.0, 0.1])
+    typ = np.asarray([0, 0, 0], np.int32)
+    dif = np.asarray([0.0, -300.0, 600.0])
+    qc = np.asarray([0, 0, 5], np.int32)
+    omb = np.asarray([0.5, -20.0, 0.01])
+    oma = np.asarray([0.1, -5.0, 0.005])
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "obsdep.dat")
+        obsio.write_obs_dep(p, elem, lon, lat, lev, dat, err, typ, dif,
+                            qc, omb, oma)
+        (e2, lo2, la2, lv2, da2, er2, ty2, di2, qc2, ob2, oa2) = \
+            obsio.read_obs_dep(p)
+        np.testing.assert_array_equal(e2, elem)
+        np.testing.assert_allclose(lv2, lev, rtol=1e-6)
+        np.testing.assert_allclose(da2, dat, rtol=1e-6)
+        np.testing.assert_allclose(er2, err, rtol=1e-6)
+        np.testing.assert_allclose(di2, dif, rtol=1e-6)
+        np.testing.assert_array_equal(qc2, qc)
+        np.testing.assert_allclose(ob2, omb, rtol=1e-6)
+        np.testing.assert_allclose(oa2, oma, rtol=1e-6)
+        # on-disk values carry the reference output units: hPa lev for T,
+        # hPa PS value, percent RH
+        raw = obsio.read_records(p, 0, 11)
+        assert abs(raw[0, 3] - 850.0) < 1e-3
+        assert abs(raw[1, 4] - 1000.0) < 1e-3
+        assert abs(raw[2, 4] - 55.0) < 1e-3

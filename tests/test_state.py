@@ -77,7 +77,18 @@ def test_state_to_history_fields():
     h = state_to_history(anal, z)
     assert h["u"].shape == (6, 8, 10)
     assert h["ps"].shape == (8, 10)
-    np.testing.assert_allclose(h["ps"], h["p"][0])
+    # surface pressure: hydrostatic extrapolation below level 1 — larger
+    # than the level-1 pressure by roughly the level-1 column weight
+    assert (np.asarray(h["ps"]) > np.asarray(h["p"][0])).all()
+    from scale_letkf_tpu.constants import GRAV, RD
+    approx = np.asarray(h["p"][0]) * np.exp(
+        GRAV * 250.0 / (RD * np.asarray(h["t"][0])))
+    np.testing.assert_allclose(np.asarray(h["ps"]), approx, rtol=2e-3)
+    # screen diagnostics: 10-m wind is a log-profile reduction of level 1;
+    # 2-m temperature is warmer than level-1 T (dry-adiabatic descent)
+    assert (np.abs(np.asarray(h["u10m"]))
+            <= np.abs(np.asarray(h["u"][0])) + 1e-12).all()
+    assert (np.asarray(h["t2m"]) >= np.asarray(h["t"][0]) - 1e-6).all()
     np.testing.assert_allclose(h["hgt"][:, 0, 0], grid.cz)
     assert (h["rh"] >= 0).all()
 
