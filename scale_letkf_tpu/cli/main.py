@@ -261,7 +261,8 @@ def cmd_obsope(args):
         fields = jax.vmap(
             lambda g: state_to_history(g, driver.z_full, driver.topo))(gues)
         hx = obsope_ensemble(fields, obs, grid, cfg, driver.z_full)
-    K = hx.ensval.shape[0]
+    ensval_np = np.asarray(hx.ensval)   # host pull at the file-IO boundary
+    K = ensval_np.shape[0]
     from scale_letkf_tpu.obs.types import ID_H08IR
     has_h08 = bool(np.any(obs.elem == ID_H08IR))
     for m in range(K):
@@ -269,7 +270,7 @@ def cmd_obsope(args):
         path = filename_replace_mem(args.out, m)
         obsio.write_obs_da(path, np.zeros(obs.nobs, np.int32),
                            np.arange(obs.nobs, dtype=np.int32),
-                           hx.ensval[m].astype(np.float32),
+                           ensval_np[m].astype(np.float32),
                            hx.qc.astype(np.int32),
                            lev=hx.lev if has_h08 else None,
                            val2=hx.val2 if has_h08 else None)

@@ -8,8 +8,11 @@ localization scales (:308-342), ensemble-mean departures and Hdx (:474-493),
 gross-error and radar min-member QC (:384-561), and the bucket sort of obs
 into per-ctype sorting meshes (:660-855).
 
-Host-side numpy throughout (obs counts are data-dependent); the output
-ObsContext carries dense device arrays consumed by the jitted analysis.
+Data-dependent control flow (ctype discovery, bucket construction) runs on
+host over small (nobs,) vectors; the O(K·nobs) ensemble reductions (mean,
+Hdx, member counts) run jitted on device and hdxb stays device-resident all
+the way into the jitted analysis — the reference moves this matrix through
+MPI allreduce (obs_da_value_allreduce, common_mpi_scale.f90:1879) instead.
 """
 
 from __future__ import annotations
@@ -55,7 +58,9 @@ class ObsContext:
     err: np.ndarray
     dep: np.ndarray              # y - H(x̄)
     depd: np.ndarray | None      # deterministic-run departure
-    hdxb: np.ndarray             # (nobs, K) ensemble perturbations of H(x)
+    hdxb: np.ndarray             # (nobs, K) ensemble H(x) perturbations —
+                                 # a device array when produced by the
+                                 # device-resident obsope path
     qc: np.ndarray
     elem: np.ndarray
     typ: np.ndarray
@@ -106,22 +111,79 @@ def preprocess_radar_obs(obs: Observations, cfg: Config) -> Observations:
     return obs
 
 
+def _ens_stats_device(ensval, is_h08, ref_thr, has_ref, has_h08):
+    """Jitted O(K·nobs) ensemble reductions — the reference's
+    obs_da_value_allreduce + mean/Hdx pass (letkf_obs.f90:474-493) kept
+    device-resident. Returns (mean, hdxb(nobs,K), mem_ref, mem_cld); only
+    the (nobs,) vectors are ever pulled to host."""
+    import jax.numpy as jnp
+    nobs = ensval.shape[1]
+    mem_ref = ((ensval > ref_thr).sum(axis=0) if has_ref
+               else jnp.zeros(nobs, jnp.int32))
+    if has_h08:
+        mem_cld = ((ensval < 0) & is_h08[None, :]).sum(axis=0)
+        ensval = jnp.where(is_h08[None, :], jnp.abs(ensval), ensval)
+    else:
+        mem_cld = jnp.zeros(nobs, jnp.int32)
+    mean = ensval.mean(axis=0)
+    hdxb = (ensval - mean[None, :]).T          # (nobs, K)
+    return mean, hdxb, mem_ref, mem_cld
+
+
+_ENS_STATS_JIT = None
+
+
+def _ens_stats_jit():
+    global _ENS_STATS_JIT
+    if _ENS_STATS_JIT is None:
+        import jax
+        _ENS_STATS_JIT = jax.jit(_ens_stats_device, static_argnums=(3, 4))
+    return _ENS_STATS_JIT
+
+
 def qc_and_departures(
     obs: Observations,
-    ensval: np.ndarray,          # (K, nobs) raw ensemble H(x)
+    ensval,                      # (K, nobs) raw ensemble H(x); np or jax
     qc_in: np.ndarray,
     cfg: Config,
     ensval_det: np.ndarray | None = None,
     hx_lev: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+):
     """Ensemble-mean departures, Hdx perturbations, gross-error and
     radar min-member QC (letkf_obs.f90:384-561).
+
+    When ensval is a device array (the obsope output), the O(K·nobs)
+    reductions run jitted on device and hdxb is returned as a device array
+    (consumed directly by the jitted analysis); the per-obs QC logic runs
+    on host over (nobs,) vectors either way.
 
     Returns (dep, hdxb(nobs,K), qc, depd)."""
     qc = qc_in.astype(np.int32).copy()
     r = cfg.radar
     is_ref = (obs.elem == ID_RADAR_REF) | (obs.elem == ID_RADAR_REF_ZERO)
     is_vr = obs.elem == ID_RADAR_VR
+    is_h08 = obs.elem == ID_H08IR
+    on_device = not isinstance(ensval, np.ndarray)
+
+    if on_device:
+        import jax.numpy as jnp
+        mean_d, hdxb, mem_ref_d, mem_cld_d = _ens_stats_jit()(
+            ensval, jnp.asarray(is_h08),
+            float(r.radar_ref_thres_dbz) + 1e-6,
+            bool(is_ref.any()), bool(is_h08.any()))
+        mean = np.asarray(mean_d, np.float64)
+        mem_ref = np.asarray(mem_ref_d)
+        mem_cld = np.asarray(mem_cld_d)
+    else:
+        mem_ref = ((ensval > r.radar_ref_thres_dbz + 1e-6).sum(axis=0)
+                   if is_ref.any() else np.zeros(obs.nobs, np.int64))
+        mem_cld = np.zeros(obs.nobs, np.int64)
+        if is_h08.any():
+            ensval = ensval.copy()
+            mem_cld = ((ensval < 0) & is_h08[None, :]).sum(axis=0)
+            ensval[:, is_h08] = np.abs(ensval[:, is_h08])
+        mean = ensval.mean(axis=0)
+        hdxb = (ensval - mean[None, :]).T      # (nobs, K)
 
     if not r.use_radar_ref:
         qc[is_ref & (qc == QC_GOOD)] = QC_OTYPE
@@ -131,7 +193,6 @@ def qc_and_departures(
 
     # radar min-member check: enough members must see an echo
     if is_ref.any():
-        mem_ref = (ensval > r.radar_ref_thres_dbz + 1e-6).sum(axis=0)
         obs_rainy = obs.dat > r.radar_ref_thres_dbz + 1e-6
         need = np.where(obs_rainy, r.min_radar_ref_member_obsref,
                         r.min_radar_ref_member)
@@ -140,19 +201,12 @@ def qc_and_departures(
     # Himawari-8: cloudy members carry negated BT (Trans_XtoY_H08,
     # common_obs_scale.f90:2957-2963); count then un-negate
     # (letkf_obs.f90:432-470), reject obs sensitive above H08_LIMIT_LEV
-    is_h08 = obs.elem == ID_H08IR
-    mem_cld = np.zeros(obs.nobs, np.int64)
     if is_h08.any():
-        ensval = ensval.copy()
-        mem_cld = ((ensval < 0) & is_h08[None, :]).sum(axis=0)
-        ensval[:, is_h08] = np.abs(ensval[:, is_h08])
         qc[is_h08 & (obs.dat == UNDEF)] = QC_OBS_BAD
         if hx_lev is not None:
             qc[is_h08 & (hx_lev < cfg.h08.h08_limit_lev)] = QC_OBS_BAD
         qc[is_h08 & (obs.dat < cfg.h08.h08_bt_min)] = QC_GROSS_ERR
 
-    mean = ensval.mean(axis=0)
-    hdxb = (ensval - mean[None, :]).T          # (nobs, K)
     dep = obs.dat - mean
     depd = (obs.dat - ensval_det) if ensval_det is not None else None
 

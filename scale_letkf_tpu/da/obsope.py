@@ -43,8 +43,15 @@ def assign_slots(dif: np.ndarray, cfg: Config) -> np.ndarray:
 
 @dataclass
 class ObsOpeResult:
-    """Per-obs ensemble H(x) with QC (obs_da_value analogue)."""
-    ensval: np.ndarray    # (K, nobs)
+    """Per-obs ensemble H(x) with QC (obs_da_value analogue).
+
+    ensval STAYS ON DEVICE (jax.Array): the reference materializes it on
+    every rank via MPI allreduce (obs_da_value_allreduce,
+    common_mpi_scale.f90:1879); here it feeds the jitted analysis directly
+    and the O(K·nobs) matrix never crosses the host boundary. The small
+    (nobs,) QC/aux vectors are host numpy — they drive the data-dependent
+    bucket construction."""
+    ensval: np.ndarray | jax.Array   # (K, nobs)
     qc: np.ndarray        # (nobs,) worst QC across members
     lev: np.ndarray | None = None    # (nobs,) H08 sensitive pressure [Pa]
     val2: np.ndarray | None = None   # (nobs,) H08 clear-sky BT [K]
@@ -159,6 +166,6 @@ def obsope_ensemble(
         return y, qc, lev, v2
 
     y, qc, lev, v2 = jax.vmap(member_hx)(hist_fields)
-    return ObsOpeResult(ensval=np.asarray(y), qc=np.asarray(qc.max(axis=0)),
+    return ObsOpeResult(ensval=y, qc=np.asarray(qc.max(axis=0)),
                         lev=np.asarray(lev.mean(axis=0)),
                         val2=np.asarray(v2.mean(axis=0)))
