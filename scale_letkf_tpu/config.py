@@ -107,7 +107,7 @@ class LetkfConfig:
     # eigensolver backend for the batched K×K transform (framework knob, no
     # reference analogue): 'lax' = jnp.linalg.eigh; 'jacobi' = MXU-native
     # parallel Jacobi (ops/eigh_jacobi.py), faster at large K on TPU
-    eigh_impl: str = "lax"
+    eigh_impl: str = "auto"
 
     def gross_thresh(self, kind: str) -> float:
         v = {

@@ -96,8 +96,13 @@ class _Plan:
 
 def _gp_spec(ndim: int) -> P:
     """PartitionSpec sharding the LAST axis over all mesh axes (the
-    gridpoint-major 'ensemble transpose' layout)."""
-    return P(*([None] * (ndim - 1) + [("member", "dy", "dx")]))
+    gridpoint-major 'ensemble transpose' layout). Axis order
+    ('dy','dx','member') keeps the spatially-sharded blocks in place and
+    splits each further over members — GSPMD lowers the reshard from the
+    forecast layout to a clean all-to-all (the reference's
+    scatter_grd_mpi_alltoall, common_mpi_scale.f90:1279) with no
+    collective-permute."""
+    return P(*([None] * (ndim - 1) + [("dy", "dx", "member")]))
 
 
 @lru_cache(maxsize=32)
@@ -109,6 +114,24 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
             return a
         return jax.lax.with_sharding_constraint(
             a, NamedSharding(mesh, _gp_spec(a.ndim)))
+
+    def gp_in(a, member_axis=None):
+        """Entry reshard to the gridpoint layout ('ensemble transpose').
+        Goes through the explicit intermediate sharding (member on the K
+        axis, (dy,dx) on B) first: a direct reshard from the eagerly
+        reshaped input layout triggers GSPMD's 'involuntary full
+        rematerialization' fallback, while the two-step form lowers to the
+        intended all-to-all (the reference's scatter_grd_mpi_alltoall;
+        verified in tests/test_analysis_sharded.py)."""
+        if mesh is None or a is None:
+            return a
+        mid = [None] * a.ndim
+        if member_axis is not None:
+            mid[member_axis] = "member"
+        mid[a.ndim - 1] = ("dy", "dx")
+        a = jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, P(*mid)))
+        return gp(a)
 
     def repl(a):
         if mesh is None or a is None:
@@ -131,19 +154,19 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
         dtype = pert_zkvb.dtype
         nz, K, nv, B = pert_zkvb.shape
 
-        pert_zkvb = gp(pert_zkvb)
-        mean_zvb = gp(mean_zvb)
-        infl0_zb = gp(infl0_zb)
-        logp_zb = gp(logp_zb)
-        z_zb = gp(z_zb)
-        gp_x, gp_y, dist_bdy = gp(gp_x), gp(gp_y), gp(dist_bdy)
-        cand = tuple(gp(c) for c in cand)
+        pert_zkvb = gp_in(pert_zkvb, member_axis=1)
+        mean_zvb = gp_in(mean_zvb)
+        infl0_zb = gp_in(infl0_zb)
+        logp_zb = gp_in(logp_zb)
+        z_zb = gp_in(z_zb)
+        gp_x, gp_y, dist_bdy = gp_in(gp_x), gp_in(gp_y), gp_in(dist_bdy)
+        cand = tuple(gp_in(c) for c in cand)
         obs_x, obs_y = repl(obs_x), repl(obs_y)
         obs_vert, obs_err = repl(obs_vert), repl(obs_err)
         dep_g, hdxb_g = repl(dep_g), repl(hdxb_g)
         depd_g = repl(depd_g)
-        pert_det_zvb = gp(pert_det_zvb)
-        mean_det_zvb = gp(mean_det_zvb)
+        pert_det_zvb = gp_in(pert_det_zvb)
+        mean_det_zvb = gp_in(mean_det_zvb)
 
         def level_body(carry, xs):
             (pert_l, mean_l, infl_l, logp_l, z_l,
@@ -281,6 +304,12 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
             level_body, 0.0, xs)
 
         anal = jnp.transpose(anal_z, (3, 1, 0, 2))        # (K, nv, nz, B)
+        if mesh is not None:
+            # reverse 'ensemble transpose': hand the analysis back in the
+            # forecast layout (member-sharded K, spatially-sharded B)
+            anal = jax.lax.with_sharding_constraint(
+                anal, NamedSharding(mesh, P("member", None, None,
+                                            ("dy", "dx"))))
         mean_p = mean_zvb[:, IA_P]                        # (nz, B)
 
         # Q_UPDATE_TOP: keep the first guess for moisture above the level
@@ -364,6 +393,9 @@ def analyze(
     addi_ens: jax.Array | None = None,     # (K, NV3D, nz, ny, nx) additive-
                                            # inflation source ensemble
     rng: np.random.Generator | None = None,  # for INFL_ADD_SHUFFLE
+    lower_only: bool = False,     # return compiled HLO text (tests: verify
+                                  # the ensemble transpose lowers to
+                                  # all-to-all, not a remat fallback)
 ) -> tuple[jax.Array, jax.Array | None, AnalysisDiag]:
     """Analysis update. Returns (anal, anal_det, diag)."""
     K, nv, nz, ny, nx = gues.shape
@@ -420,13 +452,16 @@ def analyze(
     depd_dev = (jnp.asarray(ctx.depd, dtype)
                 if ctx.depd is not None else None)
 
-    anal_kvzb, infl_zb, nobs_zb, det_zvb, rtps_zvb = fn(
+    fn_args = (
         pert_zkvb, mean_zvb, infl0, logp_mean, z_zb,
         gp_x, gp_y, dist_bdy, cand,
         jnp.asarray(ctx.x, dtype), jnp.asarray(ctx.y, dtype),
         jnp.asarray(ctx.vert, dtype), jnp.asarray(ctx.err, dtype),
         jnp.asarray(ctx.dep, dtype), jnp.asarray(ctx.hdxb, dtype),
         depd_dev, pert_det_zvb, mean_det_zvb)
+    if lower_only:
+        return fn.lower(*fn_args).compile().as_text()
+    anal_kvzb, infl_zb, nobs_zb, det_zvb, rtps_zvb = fn(*fn_args)
 
     anal = anal_kvzb.reshape(K, nv, nz, ny, nx)
     anal_det_out = (jnp.transpose(det_zvb, (1, 0, 2)).reshape(nv, nz, ny, nx)

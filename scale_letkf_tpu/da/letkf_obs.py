@@ -141,14 +141,24 @@ def _ens_stats_jit():
     return _ENS_STATS_JIT
 
 
+def _bucket_nobs(n: int) -> int:
+    """Round nobs up to a power-of-two bucket so _ens_stats_jit compiles
+    once per bucket instead of once per cycle (obs counts are
+    data-dependent and differ every cycle)."""
+    b = 64
+    while b < n:
+        b *= 2
+    return b
+
+
 def qc_and_departures(
     obs: Observations,
-    ensval,                      # (K, nobs) raw ensemble H(x); np or jax
+    ensval: "np.ndarray | jax.Array",  # (K, nobs) raw ensemble H(x)
     qc_in: np.ndarray,
     cfg: Config,
     ensval_det: np.ndarray | None = None,
     hx_lev: np.ndarray | None = None,
-):
+) -> "tuple[np.ndarray, np.ndarray | jax.Array, np.ndarray, np.ndarray | None]":
     """Ensemble-mean departures, Hdx perturbations, gross-error and
     radar min-member QC (letkf_obs.f90:384-561).
 
@@ -163,19 +173,35 @@ def qc_and_departures(
     is_ref = (obs.elem == ID_RADAR_REF) | (obs.elem == ID_RADAR_REF_ZERO)
     is_vr = obs.elem == ID_RADAR_VR
     is_h08 = obs.elem == ID_H08IR
-    on_device = not isinstance(ensval, np.ndarray)
+    # positive dispatch: only genuine jax device arrays take the jit path;
+    # lists/np.matrix/masked arrays fall through to the numpy branch
+    import jax
+    on_device = isinstance(ensval, jax.Array)
 
     if on_device:
         import jax.numpy as jnp
-        mean_d, hdxb, mem_ref_d, mem_cld_d = _ens_stats_jit()(
-            ensval, jnp.asarray(is_h08),
-            float(r.radar_ref_thres_dbz) + 1e-6,
+        nobs = obs.nobs
+        nb = _bucket_nobs(nobs)
+        ens_p = (jnp.pad(ensval, ((0, 0), (0, nb - nobs)))
+                 if nb != nobs else ensval)
+        h08_p = np.zeros(nb, bool)
+        h08_p[:nobs] = is_h08
+        mean_d, hdxb_d, mem_ref_d, mem_cld_d = _ens_stats_jit()(
+            ens_p, jnp.asarray(h08_p),
+            np.float32(r.radar_ref_thres_dbz) + np.float32(1e-6),
             bool(is_ref.any()), bool(is_h08.any()))
-        mean = np.asarray(mean_d, np.float64)
-        mem_ref = np.asarray(mem_ref_d)
-        mem_cld = np.asarray(mem_cld_d)
+        hdxb = hdxb_d[:nobs]
+        # one batched device→host transfer for the (nobs,) QC vectors
+        mean, mem_ref, mem_cld = jax.device_get(
+            (mean_d[:nobs], mem_ref_d[:nobs], mem_cld_d[:nobs]))
+        mean = mean.astype(np.float64)
     else:
-        mem_ref = ((ensval > r.radar_ref_thres_dbz + 1e-6).sum(axis=0)
+        # compare in float32 to match the device path bit-for-bit: the jit
+        # branch computes H(x) in float32, so members within float32 eps of
+        # RADAR_REF_THRES_DBZ must flip QC_REF_MEM identically on both paths
+        mem_ref = ((ensval.astype(np.float32, copy=False)
+                    > np.float32(r.radar_ref_thres_dbz) + np.float32(1e-6))
+                   .sum(axis=0)
                    if is_ref.any() else np.zeros(obs.nobs, np.int64))
         mem_cld = np.zeros(obs.nobs, np.int64)
         if is_h08.any():
@@ -225,7 +251,7 @@ def qc_and_departures(
 
 def build_obs_context(
     obs: Observations,
-    ensval: np.ndarray,          # (K, nobs)
+    ensval: "np.ndarray | jax.Array",  # (K, nobs)
     qc_in: np.ndarray,
     cfg: Config,
     grid: Grid,

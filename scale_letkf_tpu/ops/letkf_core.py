@@ -51,9 +51,13 @@ def letkf_core(
     infl_update: bool = False,
     depd: jax.Array | None = None,  # (..., L) deterministic-member departures
     min_infl: float = 0.0,
-    eigh_impl: str = "lax",   # 'lax' (jnp.linalg.eigh) | 'jacobi' (MXU-native
-                              # parallel Jacobi, ops/eigh_jacobi.py — for
-                              # large K where the eigensolve dominates)
+    eigh_impl: str = "auto",  # 'ns' (matmul-only Newton–Schulz inverse
+                              # square root, ops/invsqrt.py — the fast TPU
+                              # path: no eigendecomposition at all) |
+                              # 'lax' (jnp.linalg.eigh) | 'jacobi'
+                              # (VPU row/col parallel Jacobi,
+                              # ops/eigh_jacobi.py — fastest at small K) |
+                              # 'auto' (jacobi for K ≤ 16, else ns)
 ) -> LetkfResult:
     """Compute the LETKF transform for a batch of local analysis problems.
 
@@ -79,18 +83,35 @@ def letkf_core(
     shift = km1 / parm_infl[..., None]
     gram = gram + shift[..., None] * jnp.eye(K, dtype=dtype)
 
-    # Symmetric eigendecomposition (batched; replaces EISPACK rs per point)
-    if eigh_impl == "jacobi":
-        from scale_letkf_tpu.ops.eigh_jacobi import eigh_jacobi
-        eival, eivec = eigh_jacobi(gram)
-    else:
-        eival, eivec = jnp.linalg.eigh(gram)
+    if eigh_impl == "auto":
+        eigh_impl = "jacobi" if (K <= 16 and K % 2 == 0) else "ns"
 
-    # Pa = V Λ^{-1} V^T   (common_letkf.f90:151-157)
-    v_over_l = eivec / eival[..., None, :]
-    pao = jnp.einsum("...ik,...jk->...ij", v_over_l, eivec,
-                     preferred_element_type=dtype,
-                      precision=jax.lax.Precision.HIGHEST)
+    if eigh_impl == "ns":
+        # Matmul-only path: the transform needs only C^{-1} (= Pa) and
+        # C^{-1/2} (= W/√(K-1)), never the eigenpairs — coupled
+        # Newton–Schulz computes both on the MXU (ops/invsqrt.py).
+        from scale_letkf_tpu.ops.invsqrt import invsqrt_newton_schulz
+        inv_sqrt, pao = invsqrt_newton_schulz(gram)
+        trans = jnp.sqrt(km1) * inv_sqrt
+    else:
+        # Symmetric eigendecomposition (batched; replaces EISPACK rs/point)
+        if eigh_impl == "jacobi":
+            from scale_letkf_tpu.ops.eigh_jacobi import eigh_jacobi
+            eival, eivec = eigh_jacobi(gram)
+        else:
+            eival, eivec = jnp.linalg.eigh(gram)
+
+        # Pa = V Λ^{-1} V^T   (common_letkf.f90:151-157)
+        v_over_l = eivec / eival[..., None, :]
+        pao = jnp.einsum("...ik,...jk->...ij", v_over_l, eivec,
+                         preferred_element_type=dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+
+        # Sqrt transform W = V sqrt((K-1) Λ^{-1}) V^T (common_letkf.f90:199)
+        v_sqrt = eivec * jnp.sqrt(km1 / eival)[..., None, :]
+        trans = jnp.einsum("...ik,...jk->...ij", v_sqrt, eivec,
+                           preferred_element_type=dtype,
+                           precision=jax.lax.Precision.HIGHEST)
 
     # Mean weight w̄ = Pa (HδX)^T R^{-1} d   (common_letkf.f90:169-187)
     # Contract obs dimension first: t = hdxb_rinv^T dep is (..., K), then Pa t.
@@ -110,12 +131,6 @@ def letkf_core(
                       precision=jax.lax.Precision.HIGHEST)
     else:
         transmd = jnp.zeros_like(transm)
-
-    # Sqrt transform W = V sqrt((K-1) Λ^{-1}) V^T  (common_letkf.f90:199-206)
-    v_sqrt = eivec * jnp.sqrt(km1 / eival)[..., None, :]
-    trans = jnp.einsum("...ik,...jk->...ij", v_sqrt, eivec,
-                       preferred_element_type=dtype,
-                      precision=jax.lax.Precision.HIGHEST)
 
     # Adaptive multiplicative inflation estimate (Miyoshi 2011 innovation
     # statistics with a scalar KF; common_letkf.f90:233-254). Guarded for the

@@ -71,6 +71,25 @@ def test_sharded_analyze_equals_single_device():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_analyze_transpose_is_alltoall():
+    """The member→gridpoint 'ensemble transpose' must lower to all-to-all,
+    not GSPMD's 'involuntary full rematerialization' (replicate+slice)
+    fallback (reference: scatter_grd_mpi_alltoall,
+    common_mpi_scale.f90:1279)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    grid, gues, ctx, cfg, z_full = make_case()
+    mesh = make_mesh(2, 2, 2)
+    # hand analyze() the forecast layout: member-sharded K, (dy,dx) spatial
+    gues_sh = jax.device_put(
+        gues, NamedSharding(mesh, P("member", None, None, "dy", "dx")))
+    hlo = analyze(gues_sh, ctx, cfg, grid, z_full, mesh=mesh,
+                  lower_only=True)
+    assert "all-to-all" in hlo
+    # the remat fallback manifests as an all-gather over every mesh axis of
+    # the pert input; a clean transpose needs none on the big arrays
+    assert "full rematerialization" not in hlo
+
+
 def test_sharded_analyze_adaptive_and_det():
     grid, gues, ctx, cfg, z_full = make_case(
         letkf_kw={"infl_mul": 1.0, "infl_mul_adaptive": True})

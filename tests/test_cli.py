@@ -51,6 +51,7 @@ def run_cli(*args, cwd=None):
     return buf.getvalue()
 
 
+@pytest.mark.slow
 def test_cli_full_workflow(tmp_path):
     repo = Path(__file__).resolve().parents[1]
     cfg_path = tmp_path / "exp.toml"

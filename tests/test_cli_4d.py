@@ -8,6 +8,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -91,6 +92,7 @@ def setup_case(tmp_path):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_cli_4d_workflow(tmp_path):
     d = setup_case(tmp_path)
 

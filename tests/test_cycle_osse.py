@@ -66,6 +66,7 @@ def setup():
     return make_driver()
 
 
+@pytest.mark.slow
 def test_single_analysis_reduces_error(setup):
     grid, cfg, driver, s0 = setup
     truth, ens = make_truth_and_ensemble(s0)
@@ -94,6 +95,7 @@ def test_single_analysis_reduces_error(setup):
         assert ra < rg, f"{n}: analysis {ra} !< forecast {rg}"
 
 
+@pytest.mark.slow
 def test_cycling_osse(setup):
     grid, cfg, driver, s0 = setup
     truth, ens = make_truth_and_ensemble(s0, seed=7)
@@ -112,6 +114,7 @@ def test_cycling_osse(setup):
     assert np.isfinite(res.spread).all()
 
 
+@pytest.mark.slow
 def test_adaptive_inflation_cycle():
     grid, cfg, driver, s0 = make_driver(infl_mul_adaptive=True)
     truth, ens = make_truth_and_ensemble(s0, seed=9)
@@ -126,6 +129,7 @@ def test_adaptive_inflation_cycle():
     assert res.infl_field.max() < 3.0
 
 
+@pytest.mark.slow
 def test_rtpp_and_rtps_cycles():
     for kw in ({"relax_alpha": 0.5}, {"relax_alpha_spread": 0.7}):
         grid, cfg, driver, s0 = make_driver(**kw)

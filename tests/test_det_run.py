@@ -2,6 +2,7 @@
 must move toward the obs via the transmd weights."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from scale_letkf_tpu.da.obsmake import make_obs_network, obsmake
 from test_cycle_osse import make_driver, make_truth_and_ensemble, DX, DY, DZ
 
 
+@pytest.mark.slow
 def test_det_member_updated():
     grid, cfg, driver, s0 = make_driver()
     cfg.ensemble.det_run = True

@@ -2,6 +2,7 @@
 core at small dt, stability and speed at large dt."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +54,7 @@ def test_si_balanced_state_steady():
     assert float(jnp.abs(out.rho - s.rho).max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_si_matches_explicit_at_small_dt():
     cfg, s, rho_ref, p_ref, zc = setup(1.0)
     ref = integrate(s, cfg, rho_ref, p_ref, zc, 120)

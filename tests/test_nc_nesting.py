@@ -1,6 +1,7 @@
 """NetCDF restart compatibility and one-way nesting tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -57,6 +58,7 @@ def test_interp_linear_field_exact():
     np.testing.assert_allclose(out, expect, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_one_way_nested_run():
     """Child driven by parent boundary stays stable and tracks the parent's
     large-scale state in the buffer zone."""

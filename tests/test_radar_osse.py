@@ -3,6 +3,7 @@ exercises the radar operator, dBZ preprocessing/relabeling, z-coordinate
 vertical localization, and min-member QC inside the full analysis."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -113,6 +114,7 @@ def seed_rain(s, scale=1.0):
     return s._replace(rhoq=rhoq)
 
 
+@pytest.mark.slow
 def test_radar_osse_analysis():
     grid, cfg, driver, s0, radar = moist_bubble_setup()
     base = add_warm_bubble(s0, DZ, DX, DY, amplitude=3.0)

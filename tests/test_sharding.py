@@ -46,6 +46,7 @@ def test_sharded_forecast_matches_single_device():
                                rtol=2e-6, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_multistep_with_constraint():
     ens, cfg, rho_ref, p_ref, zc = setup_ens()
     mesh = make_mesh(2, 2, 2)
