@@ -218,6 +218,9 @@ class CycleDriver:
         self._fcst_one = fcst_one
         self._fcst_one_jit = jax.jit(fcst_one, static_argnums=1)
         self._fcst_ens = jax.jit(fcst_ens, static_argnums=1)
+        # unjitted ensemble forecast for callers that fuse it into a larger
+        # jitted program (da/fastcycle.py)
+        self._fcst_ens_raw = fcst_ens
 
     # -- forecast step (scale-rm_ens equivalent) --
     def forecast(self, ens: DycoreState, nsteps: int,

@@ -92,6 +92,8 @@ class _Plan:
     has_det: bool
     has_depd: bool
     eigh_impl: str
+    has_obs_good: bool = False   # fused path: per-obs usable mask applied
+                                 # to rloc before selection (QC in-graph)
 
 
 def _gp_spec(ndim: int) -> P:
@@ -150,7 +152,8 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
            hdxb_g,              # (nobs, K)
            depd_g,              # (nobs,) or None
            pert_det_zvb,        # (nz, nv, B) or None
-           mean_det_zvb):       # (nz, nv, B) or None
+           mean_det_zvb,        # (nz, nv, B) or None
+           obs_good=None):      # (nobs,) bool or None — fused-path QC mask
         dtype = pert_zkvb.dtype
         nz, K, nv, B = pert_zkvb.shape
 
@@ -186,6 +189,15 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
                 nd2, rloc, rdiag = local_weights(
                     cand[ic], obs_x, obs_y, obs_vert, obs_err,
                     gp_x, gp_y, gp_vert, cp.hori_scale, cp.vert_scale)
+                if plan.has_obs_good:
+                    # in-graph QC: bad obs lose their localization weight
+                    # BEFORE the top-k so they neither occupy selection
+                    # slots nor touch the transform (host path filters
+                    # them out of the arrays instead)
+                    gm = jnp.where(cand[ic] >= 0,
+                                   obs_good[jnp.maximum(cand[ic], 0)],
+                                   False)
+                    rloc = jnp.where(gm, rloc, 0.0)
                 if cp.max_nobs > 0:
                     idx_k, rloc_k, rdiag_k = limit_obs_topk(
                         cand[ic], nd2, rloc, rdiag, cp.max_nobs,
@@ -458,7 +470,7 @@ def analyze(
         jnp.asarray(ctx.x, dtype), jnp.asarray(ctx.y, dtype),
         jnp.asarray(ctx.vert, dtype), jnp.asarray(ctx.err, dtype),
         jnp.asarray(ctx.dep, dtype), jnp.asarray(ctx.hdxb, dtype),
-        depd_dev, pert_det_zvb, mean_det_zvb)
+        depd_dev, pert_det_zvb, mean_det_zvb, None)
     if lower_only:
         return fn.lower(*fn_args).compile().as_text()
     anal_kvzb, infl_zb, nobs_zb, det_zvb, rtps_zvb = fn(*fn_args)

@@ -220,7 +220,10 @@ def trans_xtoy_conv(
 # ---------------------------------------------------------------------------
 
 def _gamma_fn(x: float) -> float:
-    return float(jnp.exp(gammaln(x)))
+    # stdlib, not jnp: this is a trace-time constant, and a jnp op here
+    # would be staged into the graph under jit and fail the float() cast
+    import math
+    return math.gamma(x)
 
 
 def calc_ref_vr(
