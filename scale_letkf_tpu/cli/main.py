@@ -403,6 +403,9 @@ def cmd_cycle(args):
     if det is not None:
         det = DycoreState(*(jnp.asarray(a) for a in det))
     infl = aux.get("infl")
+    if "tsfc" in aux:
+        # resume the persisted slab skin state (physics-suite runs)
+        driver.tsfc = jnp.asarray(aux["tsfc"])
     addi = load_addi_ens(cfg, args.init)
     rng = np.random.default_rng(0)
     from scale_letkf_tpu.da.obsope import assign_slots
@@ -429,6 +432,8 @@ def cmd_cycle(args):
         print(info["stats_gues"].format("O-B"))
         print(info["stats_anal"].format("O-A"))
     aux_out = {"infl": infl} if infl is not None else {}
+    if driver.tsfc is not None:
+        aux_out["tsfc"] = np.asarray(driver.tsfc)
     save_ensemble(args.out, ens, basename="anal.@@@@", aux=aux_out, det=det,
                   meta={"cycles": args.cycles})
     print(driver.timer.report())
@@ -436,6 +441,18 @@ def cmd_cycle(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="scale_letkf_tpu")
+    # multi-host runtime (reference: the MPI launcher layer,
+    # common_mpi_scale.f90:367-512). Given BEFORE the subcommand:
+    #   python -m scale_letkf_tpu --coordinator host:1234 \
+    #       --num-processes 4 --process-id $RANK letkf ...
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0; enables jax.distributed "
+                        "so the device mesh spans every host")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--local-device-count", type=int, default=None,
+                   help="force N virtual host-platform devices per process "
+                        "(CPU test rig; omit on real TPU hosts)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     q = sub.add_parser("letkf", help="LETKF analysis step")
@@ -502,6 +519,10 @@ def main(argv=None):
     q.set_defaults(fn=cmd_cycle)
 
     args = p.parse_args(argv)
+    if args.coordinator:
+        from scale_letkf_tpu.parallel.distributed import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id, args.local_device_count)
     args.fn(args)
 
 

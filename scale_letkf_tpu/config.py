@@ -108,6 +108,10 @@ class LetkfConfig:
     # reference analogue): 'lax' = jnp.linalg.eigh; 'jacobi' = MXU-native
     # parallel Jacobi (ops/eigh_jacobi.py), faster at large K on TPU
     eigh_impl: str = "auto"
+    # levels batched per analysis scan iteration; 0 = auto (batch small
+    # domains up to ~64k gridpoints per iteration, chunk 1 at full size) —
+    # framework knob, no reference analogue (the reference loop is scalar)
+    level_batch: int = 0
 
     def gross_thresh(self, kind: str) -> float:
         v = {

@@ -153,6 +153,41 @@ class CycleDriver:
             s, _ = jax.lax.scan(body, s, jnp.arange(nsteps))
             return s
 
+        def fcst_phys(s: DycoreState, nsteps: int, t0, tsfc0):
+            """Full-suite forecast threading the slab skin state: tsfc0
+            None ⇒ initialize from the lowest-level air temperature (cold
+            start); else continue the persisted state (the reference's
+            land/ocean restart carrying skin state between forecasts,
+            common_scale.f90:60-98). Returns (state, tsfc)."""
+            from scale_letkf_tpu.model.physics_suite import (
+                init_physics_state, physics_step)
+            chunk = min(phys_interval, nsteps)
+            n_chunks, rem = divmod(nsteps, chunk)
+            phys = init_physics_state(s, self.dz_phys, phys_cfg)
+            if tsfc0 is not None:
+                phys = phys._replace(tsfc=jnp.asarray(tsfc0, phys.tsfc.dtype))
+
+            def body(carry, i):
+                c, ph = carry
+                tc = t0 + i.astype(jnp.float32) * jnp.float32(
+                    chunk * dycfg.dt)
+                c = run_steps(c, chunk, tc)
+                c, ph = physics_step(c, ph, i, phys_cfg,
+                                     dycfg.dt * chunk, self.dz_phys,
+                                     self.z_centers)
+                return (c, ph), None
+
+            (s, phys), _ = jax.lax.scan(body, (s, phys),
+                                        jnp.arange(n_chunks))
+            if rem:
+                s = run_steps(
+                    s, rem, t0 + jnp.float32(n_chunks * chunk * dycfg.dt))
+                s, phys = physics_step(s, phys,
+                                       jnp.int32(n_chunks), phys_cfg,
+                                       dycfg.dt * rem, self.dz_phys,
+                                       self.z_centers)
+            return s, phys.tsfc
+
         def fcst_one(s: DycoreState, nsteps: int,
                      t0=jnp.float32(0.0)) -> DycoreState:
             if not use_physics and phys_cfg is None:
@@ -163,33 +198,7 @@ class CycleDriver:
             n_chunks, rem = divmod(nsteps, chunk)
 
             if phys_cfg is not None:
-                # full suite: microphysics + surface/PBL + radiation
-                # (model/physics_suite.py). The skin temperature is
-                # re-initialized from the lowest-level air temperature at
-                # forecast start (slab state is not checkpointed).
-                from scale_letkf_tpu.model.physics_suite import (
-                    init_physics_state, physics_step)
-                phys = init_physics_state(s, self.dz_phys, phys_cfg)
-
-                def body(carry, i):
-                    c, ph = carry
-                    tc = t0 + i.astype(jnp.float32) * jnp.float32(
-                        chunk * dycfg.dt)
-                    c = run_steps(c, chunk, tc)
-                    c, ph = physics_step(c, ph, i, phys_cfg,
-                                         dycfg.dt * chunk, self.dz_phys,
-                                         self.z_centers)
-                    return (c, ph), None
-
-                (s, phys), _ = jax.lax.scan(body, (s, phys),
-                                            jnp.arange(n_chunks))
-                if rem:
-                    s = run_steps(
-                        s, rem, t0 + jnp.float32(n_chunks * chunk * dycfg.dt))
-                    s, phys = physics_step(s, phys,
-                                           jnp.int32(n_chunks), phys_cfg,
-                                           dycfg.dt * rem, self.dz_phys,
-                                           self.z_centers)
+                s, _tsfc = fcst_phys(s, nsteps, t0, None)
                 return s
 
             def body(c, i):
@@ -215,9 +224,25 @@ class CycleDriver:
                 out = constrain_ensemble(self.mesh, out)
             return out
 
+        def fcst_ens_phys(ens: DycoreState, nsteps: int, t0, tsfc_ens):
+            if self.mesh is not None:
+                from scale_letkf_tpu.parallel.mesh import constrain_ensemble
+                ens = constrain_ensemble(self.mesh, ens)
+            out, tsfc = jax.vmap(fcst_phys, in_axes=(0, None, None, 0))(
+                ens, nsteps, t0, tsfc_ens)
+            if self.mesh is not None:
+                out = constrain_ensemble(self.mesh, out)
+            return out, tsfc
+
         self._fcst_one = fcst_one
         self._fcst_one_jit = jax.jit(fcst_one, static_argnums=1)
         self._fcst_ens = jax.jit(fcst_ens, static_argnums=1)
+        self._fcst_ens_phys = (jax.jit(fcst_ens_phys, static_argnums=1)
+                               if phys_cfg is not None else None)
+        self._phys_cfg = phys_cfg
+        # persisted per-member slab skin temperature (K, ny, nx); None until
+        # the first physics forecast (cold start) or set from a checkpoint
+        self.tsfc = None
         # unjitted ensemble forecast for callers that fuse it into a larger
         # jitted program (da/fastcycle.py)
         self._fcst_ens_raw = fcst_ens
@@ -226,9 +251,20 @@ class CycleDriver:
     def forecast(self, ens: DycoreState, nsteps: int,
                  t0: float = 0.0) -> DycoreState:
         """t0: forecast start time [s] relative to the boundary-data clock
-        (only meaningful with lateral-boundary forcing)."""
+        (only meaningful with lateral-boundary forcing). With a physics
+        suite, the slab skin state is threaded across calls (self.tsfc)."""
         with self.timer.section("forecast"):
-            out = self._fcst_ens(ens, nsteps, jnp.float32(t0))
+            if self._fcst_ens_phys is not None:
+                if self.tsfc is None:
+                    from scale_letkf_tpu.model.physics_suite import (
+                        init_physics_state)
+                    self.tsfc = jax.vmap(
+                        lambda s: init_physics_state(
+                            s, self.dz_phys, self._phys_cfg).tsfc)(ens)
+                out, self.tsfc = self._fcst_ens_phys(
+                    ens, nsteps, jnp.float32(t0), self.tsfc)
+            else:
+                out = self._fcst_ens(ens, nsteps, jnp.float32(t0))
             jax.block_until_ready(out.rho)
         return out
 
@@ -303,11 +339,21 @@ class CycleDriver:
                                   qc=np.asarray(precomputed_hx[1]),
                                   lev=lev_pc)
             elif hist_slots is not None:
+                # per-slot snapshots carry no slab state; neutral screen
+                # diagnostics are used for in-window H(x)
                 fields = jax.vmap(
                     lambda g: state_to_history(g, self.z_full, self.topo))(
                     jnp.asarray(hist_slots))     # leading (K, S)
                 hx = obsope_ensemble(fields, obs, self.grid, cfg,
                                      self.z_full, slots=slots)
+            elif self.tsfc is not None:
+                # physics-run screen diagnostics (stability-corrected from
+                # the persisted skin state) feed the obs operator
+                fields = jax.vmap(
+                    lambda g, ts: state_to_history(g, self.z_full,
+                                                   self.topo, tsfc=ts))(
+                    gues, self.tsfc)
+                hx = obsope_ensemble(fields, obs, self.grid, cfg, self.z_full)
             else:
                 fields = jax.vmap(
                     lambda g: state_to_history(g, self.z_full, self.topo))(gues)
@@ -351,8 +397,10 @@ class CycleDriver:
         # values (ctx.dat): radar reflectivity was converted to dBZ by
         # set_letkf_obs-equivalent preprocessing, and H(x) returns dBZ.
         with self.timer.section("monitor"):
-            anal_mean_fields = state_to_history(ensemble_mean(anal),
-                                               self.z_full, self.topo)
+            anal_mean_fields = state_to_history(
+                ensemble_mean(anal), self.z_full, self.topo,
+                tsfc=(jnp.mean(self.tsfc, axis=0)
+                      if self.tsfc is not None else None))
             y_a, qc_a = compute_hx_single(anal_mean_fields, obs, self.grid,
                                           cfg, self.z_full)
             y_a = np.asarray(y_a).copy()

@@ -100,8 +100,12 @@ class FusedCycle:
             raise ValueError("obs template produced no usable ctypes")
         self.ctx = ctx
 
+        from scale_letkf_tpu.da.letkf import _auto_level_chunk
         plan = _make_plan(ctx, cfg, NV3D, has_det=False)
-        plan = dataclasses.replace(plan, has_obs_good=True)
+        plan = dataclasses.replace(
+            plan, has_obs_good=True,
+            level_chunk=_auto_level_chunk(grid.nz, grid.ny * grid.nx,
+                                          cfg.letkf.level_batch))
         self._afn = _build_analysis_fn(plan, driver.mesh)
         self._plan = plan
 
@@ -240,39 +244,42 @@ class FusedCycle:
 
     # ----- whole-experiment fusion -----
 
-    def run_osse(self, truth0, ens0, n_cycles: int, seed: int = 0):
-        """Entire twin experiment as one device program: lax.scan over
-        cycles of {nature forecast → synthetic obs (H(truth)+noise) →
-        ensemble forecast → assimilation}. Returns (truth, ens, series)
-        where series holds per-cycle (rmse_gues, rmse_anal, omb, oma,
-        nobs_used) device arrays."""
+    def _osse_body(self, carry, key):
+        """One OSSE cycle: nature forecast → synthetic obs (H(truth)+noise)
+        → ensemble forecast → assimilation, with RMSE diagnostics."""
         d = self.driver
         err = jnp.asarray(self.template.err)
+        truth, ens, infl = carry
+        truth = d._fcst_one(truth, self.nsteps)
+        truth_anal = state_trans(to_collocated(truth))
+        nf = state_to_history(truth_anal, d.z_full, d.topo)
+        y_nat, _ = compute_hx_single(nf, self.template, self.grid,
+                                     self.cfg, d.z_full)
+        obs_dat = y_nat + err * jax.random.normal(key, err.shape)
 
-        def body(carry, key):
-            truth, ens, infl = carry
-            truth = d._fcst_one(truth, self.nsteps)
-            truth_anal = state_trans(to_collocated(truth))
-            nf = state_to_history(truth_anal, d.z_full, d.topo)
-            y_nat, _ = compute_hx_single(nf, self.template, self.grid,
-                                         self.cfg, d.z_full)
-            obs_dat = y_nat + err * jax.random.normal(key, err.shape)
+        ens_f = d._fcst_ens_raw(ens, self.nsteps, jnp.float32(0.0))
+        gues_stack = state_trans(jax.vmap(to_collocated)(ens_f))
+        gm = jnp.mean(gues_stack, axis=0)
+        rmse_g = jnp.sqrt(jnp.mean((gm[:4] - truth_anal[:4]) ** 2))
 
-            ens_f = d._fcst_ens_raw(ens, self.nsteps, jnp.float32(0.0))
-            gues_stack = state_trans(jax.vmap(to_collocated)(ens_f))
-            gm = jnp.mean(gues_stack, axis=0)
-            rmse_g = jnp.sqrt(jnp.mean((gm[:4] - truth_anal[:4]) ** 2))
+        ens_a, infl, diag = self._assimilate(ens_f, obs_dat, infl)
+        am_stack = state_trans(jax.vmap(to_collocated)(ens_a))
+        am = jnp.mean(am_stack, axis=0)
+        rmse_a = jnp.sqrt(jnp.mean((am[:4] - truth_anal[:4]) ** 2))
+        out = (rmse_g, rmse_a, diag["omb_rmse"], diag["oma_rmse"],
+               diag["nobs_used"])
+        return (truth, ens_a, infl), out
 
-            ens_a, infl, diag = self._assimilate(ens_f, obs_dat, infl)
-            am_stack = state_trans(jax.vmap(to_collocated)(ens_a))
-            am = jnp.mean(am_stack, axis=0)
-            rmse_a = jnp.sqrt(jnp.mean((am[:4] - truth_anal[:4]) ** 2))
-            out = (rmse_g, rmse_a, diag["omb_rmse"], diag["oma_rmse"],
-                   diag["nobs_used"])
-            return (truth, ens_a, infl), out
-
+    def run_osse(self, truth0, ens0, n_cycles: int, seed: int = 0):
+        """Entire twin experiment as one device program: a lax.scan of
+        _osse_body over cycles. Returns (truth, ens, series) where series
+        holds per-cycle (rmse_gues, rmse_anal, omb, oma, nobs_used) device
+        arrays. The jitted scan is shared across calls; each distinct
+        n_cycles is one compilation (the scan length is a shape)."""
+        if not hasattr(self, "_osse_jit"):
+            self._osse_jit = jax.jit(
+                lambda c, ks: jax.lax.scan(self._osse_body, c, ks))
         keys = jax.random.split(jax.random.PRNGKey(seed), n_cycles)
-        fused = jax.jit(lambda c, ks: jax.lax.scan(body, c, ks))
-        (truth, ens, _infl), series = fused(
+        (truth, ens, _infl), series = self._osse_jit(
             (truth0, ens0, self.initial_inflation()), keys)
         return truth, ens, series

@@ -94,6 +94,24 @@ class _Plan:
     eigh_impl: str
     has_obs_good: bool = False   # fused path: per-obs usable mask applied
                                  # to rloc before selection (QC in-graph)
+    level_chunk: int = 1         # levels batched per scan iteration (see
+                                 # _auto_level_chunk)
+
+
+def _auto_level_chunk(nz: int, B: int, requested: int = 0,
+                      target: int = 65536) -> int:
+    """Levels per scan iteration. Small domains are launch-bound in a
+    per-level scan (dozens of tiny sequential kernels each level), so batch
+    levels until the gridpoint batch reaches ~`target`; full-size domains
+    (B ≥ target) keep chunk 1 so the per-iteration obs-gather memory stays
+    bounded. Must divide nz."""
+    if requested > 0:
+        c = min(requested, nz)
+    else:
+        c = max(1, min(nz, target // max(B, 1)))
+    while nz % c:
+        c -= 1
+    return c
 
 
 def _gp_spec(ndim: int) -> P:
@@ -156,6 +174,42 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
            obs_good=None):      # (nobs,) bool or None — fused-path QC mask
         dtype = pert_zkvb.dtype
         nz, K, nv, B = pert_zkvb.shape
+        pert_orig, mean_orig = pert_zkvb, mean_zvb    # for Q_UPDATE_TOP
+
+        # --- level chunking: process `ch` levels per scan iteration as one
+        # ch·B batch. At small horizontal sizes a per-level scan is
+        # launch-bound (dozens of tiny sequential kernels per level);
+        # batching levels amortizes them. ch=1 at full-size domains keeps
+        # the per-iteration gather memory bounded.
+        ch = plan.level_chunk
+        nzc = nz // ch if ch > 1 else nz
+        B0 = B
+        if ch > 1:
+            def m_zkvb(a):       # (nz,K,nv,B) → (nzc,K,nv,ch·B)
+                a = a.reshape(nzc, ch, K, nv, B0)
+                return jnp.transpose(a, (0, 2, 3, 1, 4)).reshape(
+                    nzc, K, nv, ch * B0)
+
+            def m_zvb(a):        # (nz,nv,B) → (nzc,nv,ch·B)
+                if a is None:
+                    return None
+                a = a.reshape(nzc, ch, nv, B0)
+                return jnp.transpose(a, (0, 2, 1, 3)).reshape(
+                    nzc, nv, ch * B0)
+
+            def m_zb(a):         # (nz,B) → (nzc,ch·B)
+                return a.reshape(nzc, ch * B0)
+
+            pert_zkvb = m_zkvb(pert_zkvb)
+            mean_zvb = m_zvb(mean_zvb)
+            infl0_zb, logp_zb, z_zb = map(m_zb, (infl0_zb, logp_zb, z_zb))
+            pert_det_zvb = m_zvb(pert_det_zvb)
+            mean_det_zvb = m_zvb(mean_det_zvb)
+            gp_x = jnp.tile(gp_x, ch)
+            gp_y = jnp.tile(gp_y, ch)
+            dist_bdy = jnp.tile(dist_bdy, ch)
+            cand = tuple(jnp.tile(c, (ch, 1)) for c in cand)
+            B = ch * B0
 
         pert_zkvb = gp_in(pert_zkvb, member_axis=1)
         mean_zvb = gp_in(mean_zvb)
@@ -310,10 +364,29 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
             return carry, (anal_l, infl_out, nobs_pt, det_l, rtps_l)
 
         xs = (pert_zkvb, mean_zvb, infl0_zb, logp_zb, z_zb,
-              pert_det_zvb if plan.has_det else jnp.zeros((nz, 1, 1), dtype),
-              mean_det_zvb if plan.has_det else jnp.zeros((nz, 1, 1), dtype))
+              pert_det_zvb if plan.has_det else jnp.zeros((nzc, 1, 1), dtype),
+              mean_det_zvb if plan.has_det else jnp.zeros((nzc, 1, 1), dtype))
         _, (anal_z, infl_z, nobs_z, det_z, rtps_z) = jax.lax.scan(
             level_body, 0.0, xs)
+
+        if ch > 1:
+            # un-chunk: (nzc, …, ch·B[, K]) → (nz, …, B[, K])
+            def u_out(a):        # (nzc, nv, ch·B, K)
+                a = a.reshape(nzc, nv, ch, B0, K)
+                return jnp.transpose(a, (0, 2, 1, 3, 4)).reshape(
+                    nz, nv, B0, K)
+
+            def u_vb(a):         # (nzc, nv, ch·B)
+                a = a.reshape(nzc, nv, ch, B0)
+                return jnp.transpose(a, (0, 2, 1, 3)).reshape(nz, nv, B0)
+
+            anal_z = u_out(anal_z)
+            infl_z = infl_z.reshape(nz, B0)
+            nobs_z = nobs_z.reshape(nz, B0)
+            rtps_z = u_vb(rtps_z)
+            if plan.has_det:
+                det_z = u_vb(det_z)
+            B = B0
 
         anal = jnp.transpose(anal_z, (3, 1, 0, 2))        # (K, nv, nz, B)
         if mesh is not None:
@@ -322,13 +395,13 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
             anal = jax.lax.with_sharding_constraint(
                 anal, NamedSharding(mesh, P("member", None, None,
                                             ("dy", "dx"))))
-        mean_p = mean_zvb[:, IA_P]                        # (nz, B)
+        mean_p = mean_orig[:, IA_P]                       # (nz, B)
 
         # Q_UPDATE_TOP: keep the first guess for moisture above the level
         # where mean p < Q_UPDATE_TOP (letkf_tools.f90:371)
         if plan.q_update_top > 0:
-            gues_full = mean_zvb[None].transpose(0, 2, 1, 3) + \
-                pert_zkvb.transpose(1, 2, 0, 3)           # (K, nv, nz, B)
+            gues_full = mean_orig[None].transpose(0, 2, 1, 3) + \
+                pert_orig.transpose(1, 2, 0, 3)           # (K, nv, nz, B)
             qmask = (mean_p < plan.q_update_top)[None, None]
             var_is_q = jnp.arange(nv)[None, :, None, None] >= IA_Q0
             anal = jnp.where(qmask & var_is_q, gues_full, anal)
@@ -441,6 +514,10 @@ def analyze(
                  for ct in ctx.ctypes)
 
     plan = _make_plan(ctx, cfg, nv, gues_det is not None)
+    chunk = _auto_level_chunk(nz, B, cfg.letkf.level_batch)
+    if chunk > 1:
+        import dataclasses
+        plan = dataclasses.replace(plan, level_chunk=chunk)
     if cfg.letkf.infl_add > 0 and addi_ens is None:
         raise ValueError(
             "INFL_ADD > 0 requires an additive-inflation ensemble "

@@ -13,9 +13,13 @@ Design (idiomatic XLA, not a port):
   advection, fully explicit 3-stage Wicker–Skamarock Runge–Kutta; the
   acoustic mode is resolved explicitly (dt limited by vertical sound CFL)
   with 4th-order divergence damping as the acoustic filter.
-- Periodic lateral boundaries via jnp.roll (XLA lowers rolls on sharded axes
-  to collective-permutes, so the same code runs single-chip and multi-chip);
-  Rayleigh sponge near the model top.
+- Lateral boundaries: periodic via jnp.roll (XLA lowers rolls on sharded
+  axes to collective-permutes, so the same code runs single-chip and
+  multi-chip), or open via edge-clamped shifts (DycoreConfig.lateral =
+  'open': limited-area mode, signals exit the domain; pair with Davies
+  boundary forcing — the reference's BDY_FORMAT file forcing,
+  config/example/config.main.hakushu:72-78); Rayleigh sponge near the
+  model top.
 - Everything is pure-functional over a dict pytree so `vmap` provides the
   ensemble axis and `jit`/`shard_map` the device mesh.
 
@@ -52,6 +56,9 @@ class DycoreConfig:
     sponge_height: float = 0.0 # Rayleigh sponge bottom [m] (0: off)
     sponge_tau: float = 60.0   # sponge damping timescale [s]
     ztop: float = 0.0          # set from grid
+    lateral: str = "periodic"  # 'periodic' (ideal) | 'open' (limited-area:
+                               # edge-clamped stencils, signals exit; use
+                               # with Davies boundary forcing)
 
 
 class DycoreState(NamedTuple):
@@ -83,14 +90,59 @@ def make_vgrid(cz: np.ndarray, fz: np.ndarray, dtype=jnp.float32) -> VGrid:
 
 
 # ---------------------------------------------------------------------------
-# Stencil helpers (periodic lateral, clamped vertical)
+# Stencil helpers (lateral: periodic roll or open/clamped shift; vertical
+# always clamped)
 # ---------------------------------------------------------------------------
 
+# Lateral boundary mode, bound at TRACE time by the step entry points from
+# DycoreConfig.lateral (the reference's limited-area BDY file forcing vs
+# doubly-periodic ideal runs; config/example/config.main.hakushu:72-78
+# BDY_FORMAT). The traced graph bakes the choice in: every jit that reaches
+# these helpers closes over a DycoreConfig, so distinct modes are distinct
+# compilations. 'periodic' wraps (jnp.roll); 'open' shifts with edge-clamped
+# ghost values (zero-gradient), so signals LEAVE the domain instead of
+# re-entering — pair with Davies relaxation toward boundary targets
+# (model/boundary.py) for inflow forcing.
+from contextlib import contextmanager
+
+_LATERAL = ["periodic"]
+
+
+@contextmanager
+def lateral_bc(kind: str):
+    if kind not in ("periodic", "open"):
+        raise ValueError(f"unknown lateral BC {kind!r} "
+                         "(valid: 'periodic', 'open')")
+    old = _LATERAL[0]
+    _LATERAL[0] = kind
+    try:
+        yield
+    finally:
+        _LATERAL[0] = old
+
+
+def _shift_clamp(f, n, axis):
+    """Value from index i+n with edge clamp (ghost cells repeat the
+    boundary value)."""
+    size = f.shape[axis]
+    if n > 0:
+        main = jax.lax.slice_in_dim(f, n, size, axis=axis)
+        edge = jax.lax.slice_in_dim(f, size - 1, size, axis=axis)
+        return jnp.concatenate([main] + [edge] * n, axis=axis)
+    main = jax.lax.slice_in_dim(f, 0, size + n, axis=axis)
+    edge = jax.lax.slice_in_dim(f, 0, 1, axis=axis)
+    return jnp.concatenate([edge] * (-n) + [main], axis=axis)
+
+
 def _roll_x(f, n):  # +n: value from i+n
+    if _LATERAL[0] == "open":
+        return _shift_clamp(f, n, f.ndim - 1)
     return jnp.roll(f, -n, axis=-1)
 
 
 def _roll_y(f, n):
+    if _LATERAL[0] == "open":
+        return _shift_clamp(f, n, f.ndim - 2)
     return jnp.roll(f, -n, axis=-2)
 
 
@@ -338,12 +390,13 @@ def rk3_step(s: DycoreState, cfg: DycoreConfig, rho_ref: jax.Array,
     """One Wicker–Skamarock RK3 step: s1 = s + dt/3 f(s); s2 = s + dt/2 f(s1);
     s3 = s + dt f(s2); then Rayleigh sponge."""
     dt = cfg.dt
-    f1 = tendencies(s, cfg, rho_ref, p_ref, vg)
-    s1 = _axpy(s, f1, 1.0 / 3.0, dt)
-    f2 = tendencies(s1, cfg, rho_ref, p_ref, vg)
-    s2 = _axpy(s, f2, 0.5, dt)
-    f3 = tendencies(s2, cfg, rho_ref, p_ref, vg)
-    s3 = _axpy(s, f3, 1.0, dt)
+    with lateral_bc(cfg.lateral):
+        f1 = tendencies(s, cfg, rho_ref, p_ref, vg)
+        s1 = _axpy(s, f1, 1.0 / 3.0, dt)
+        f2 = tendencies(s1, cfg, rho_ref, p_ref, vg)
+        s2 = _axpy(s, f2, 0.5, dt)
+        f3 = tendencies(s2, cfg, rho_ref, p_ref, vg)
+        s3 = _axpy(s, f3, 1.0, dt)
     return rayleigh_sponge(s3, s, cfg, z_center, dt)
 
 

@@ -234,9 +234,11 @@ def rk3_step_si(s: DycoreState, cfg: DycoreConfig, split: SplitConfig,
 
     ns1 = max(1, n_small // 3)
     ns2 = max(1, n_small // 2)
-    s1 = stage(s, dt / 3.0, ns1)
-    s2 = stage(s1, dt / 2.0, ns2)
-    s3 = stage(s2, dt, n_small)
+    from scale_letkf_tpu.model.dycore import lateral_bc
+    with lateral_bc(cfg.lateral):
+        s1 = stage(s, dt / 3.0, ns1)
+        s2 = stage(s1, dt / 2.0, ns2)
+        s3 = stage(s2, dt, n_small)
     return rayleigh_sponge(s3, s, cfg, z_center, dt)
 
 

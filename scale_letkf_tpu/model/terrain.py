@@ -216,10 +216,12 @@ def rk3_step_terrain(s: DycoreState, cfg: DycoreConfig, rho_ref, p_ref,
                      z_center, m: TerrainMetrics,
                      vg: VGrid | None = None) -> DycoreState:
     dt = cfg.dt
-    f1 = tendencies_terrain(s, cfg, rho_ref, p_ref, m, vg=vg)
-    s1 = _axpy(s, f1, 1.0 / 3.0, dt)
-    f2 = tendencies_terrain(s1, cfg, rho_ref, p_ref, m, vg=vg)
-    s2 = _axpy(s, f2, 0.5, dt)
-    f3 = tendencies_terrain(s2, cfg, rho_ref, p_ref, m, vg=vg)
-    s3 = _axpy(s, f3, 1.0, dt)
+    from scale_letkf_tpu.model.dycore import lateral_bc
+    with lateral_bc(cfg.lateral):
+        f1 = tendencies_terrain(s, cfg, rho_ref, p_ref, m, vg=vg)
+        s1 = _axpy(s, f1, 1.0 / 3.0, dt)
+        f2 = tendencies_terrain(s1, cfg, rho_ref, p_ref, m, vg=vg)
+        s2 = _axpy(s, f2, 0.5, dt)
+        f3 = tendencies_terrain(s2, cfg, rho_ref, p_ref, m, vg=vg)
+        s3 = _axpy(s, f3, 1.0, dt)
     return rayleigh_sponge(s3, s, cfg, z_center, dt)

@@ -159,9 +159,14 @@ def gather_candidates(grid: BucketGrid, gx: jax.Array, gy: jax.Array) -> jax.Arr
     ny, nx, cap = table.shape
     ci = jnp.floor((gx - grid.x0) / grid.spacing_x).astype(jnp.int32)
     cj = jnp.floor((gy - grid.y0) / grid.spacing_y).astype(jnp.int32)
+    # static trim: a 1-cell axis makes the ±1 neighbors out of range for
+    # EVERY gridpoint — skip them so small domains (bucket spacing ≥ domain
+    # size) get candidate width cap, not 9·cap of -1 padding
+    djs = (0,) if ny == 1 else (-1, 0, 1)
+    dis = (0,) if nx == 1 else (-1, 0, 1)
     out = []
-    for dj in (-1, 0, 1):
-        for di in (-1, 0, 1):
+    for dj in djs:
+        for di in dis:
             jj = cj + dj
             ii = ci + di
             inside = (jj >= 0) & (jj < ny) & (ii >= 0) & (ii < nx)

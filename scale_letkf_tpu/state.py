@@ -153,7 +153,8 @@ def relative_humidity(temp: jax.Array, pres: jax.Array, qv: jax.Array) -> jax.Ar
 
 def state_to_history(anal: jax.Array, z_full: jax.Array,
                      topo: jax.Array | None = None,
-                     z0: float = 1.0e-2) -> dict[str, jax.Array]:
+                     z0: float = 1.0e-2,
+                     tsfc: jax.Array | None = None) -> dict[str, jax.Array]:
     """Analysis variables → obs-operator field view
     (reference: common_scale.f90:1292-1404).
 
@@ -169,9 +170,14 @@ def state_to_history(anal: jax.Array, z_full: jax.Array,
       t2m  — dry-adiabatic (θ-conserving) reduction to 2 m above ground
       u10m/v10m — neutral logarithmic wind-profile reduction to 10 m
       q2m  — level-1 specific humidity (well-mixed surface layer)
-    replacing the level-0 copies of earlier versions; when a surface/land
-    model carries a skin state, model/surface.py's surface_fluxes provides
-    the stability-corrected versions of the same diagnostics.
+    replacing the level-0 copies of earlier versions.
+
+    tsfc: optional (ny, nx) slab skin temperature carried by the physics
+    suite (CycleDriver persists it across forecasts). When given, the
+    screen diagnostics t2m/q2m/u10m/v10m come from model/surface.py's
+    stability-corrected bulk surface layer (Louis scheme) instead of the
+    neutral reductions — the physics-consistent analogue of the
+    reference's T2/Q2/U10/V10 history fields (common_scale.f90:82-90).
     """
     names3d = ("u", "v", "w", "t", "p", "q", "qc", "qr", "qi", "qs", "qg")
     f = {n: anal[..., i, :, :, :] for i, n in enumerate(names3d)}
@@ -204,6 +210,18 @@ def state_to_history(anal: jax.Array, z_full: jax.Array,
     f["u10m"] = u1 * r10
     f["v10m"] = v1 * r10
     f["q2m"] = qv1
+
+    if tsfc is not None:
+        # stability-corrected screen diagnostics from the persisted slab
+        # skin state (model/surface.py Louis surface layer)
+        from scale_letkf_tpu.model.surface import surface_fluxes
+        rho1 = p1 / (RD * tv1)
+        sf = surface_fluxes(u1, v1, t1, qv1, p1, rho1, z1,
+                            jnp.asarray(tsfc, t1.dtype), ps, z0=z0)
+        f["t2m"] = sf.t2
+        f["q2m"] = sf.q2
+        f["u10m"] = sf.u10
+        f["v10m"] = sf.v10
     return f
 
 

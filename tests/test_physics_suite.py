@@ -278,6 +278,38 @@ member = 2
         for f in out:
             assert np.isfinite(np.asarray(f)).all()
 
+        # --- persisted slab skin state (the reference's land/ocean restart
+        # carrying skin temperature between forecasts, common_scale.f90:60)
+        assert driver.tsfc is not None
+        tsfc_1 = np.asarray(driver.tsfc)
+        assert tsfc_1.shape == (2, 8, 8)
+        out2 = driver.forecast(out, 10)
+        tsfc_2 = np.asarray(driver.tsfc)
+        # the second forecast CONTINUED the slab state, not a cold restart:
+        # its skin state differs from what a cold start from `out` gives
+        driver2_tsfc = np.asarray(jax.vmap(
+            lambda s: init_physics_state(
+                s, driver.dz_phys, driver._phys_cfg).tsfc)(out))
+        assert not np.allclose(tsfc_1, tsfc_2)
+        assert np.abs(tsfc_2 - tsfc_1).max() < np.abs(
+            driver2_tsfc - tsfc_1).max() + 5.0  # evolved, not re-diagnosed
+
+        # --- physics-derived screen diagnostics reach H(x): the PS obs
+        # operator consumes t2m/q2m (prsadj, common_obs_scale.f90:600); the
+        # stability-corrected t2m from the skin state must differ from the
+        # neutral diagnosis and so must the surface-obs O-B
+        from scale_letkf_tpu.state import state_trans, state_to_history
+        from scale_letkf_tpu.model.dycore import to_collocated
+        g0 = state_trans(to_collocated(jax.tree.map(lambda a: a[0], out2)))
+        f_neutral = state_to_history(g0, driver.z_full, driver.topo)
+        f_phys = state_to_history(g0, driver.z_full, driver.topo,
+                                  tsfc=driver.tsfc[0])
+        assert not np.allclose(np.asarray(f_phys["t2m"]),
+                               np.asarray(f_neutral["t2m"]))
+        assert np.isfinite(np.asarray(f_phys["t2m"])).all()
+        assert np.abs(np.asarray(f_phys["t2m"])
+                      - np.asarray(f_neutral["t2m"])).max() < 15.0
+
     def test_unknown_physics_key_rejected(self, tmp_path):
         from scale_letkf_tpu.cli.main import (
             load_config_and_grid, make_driver)
