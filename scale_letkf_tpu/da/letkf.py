@@ -98,13 +98,33 @@ class _Plan:
                                  # _auto_level_chunk)
 
 
+@lru_cache(maxsize=4)
+def _prep_jit(donate: bool):
+    """Mean/perturbation split + scan-layout transposes as ONE jitted
+    program. Eager one-op-at-a-time execution would materialize three
+    full-state copies; fused (and optionally donating the input buffer)
+    the peak is two — the difference between fitting and OOM at the
+    full-size configs (13.7 GB 18-km state on a 16 GB chip)."""
+    def prep(g):
+        K, nv, nz, ny, nx = g.shape
+        B = ny * nx
+        g = g.reshape(K, nv, nz, B)
+        mean = jnp.mean(g, axis=0)                   # (nv, nz, B)
+        pert_zkvb = jnp.transpose(g - mean[None], (2, 0, 1, 3))
+        mean_zvb = jnp.transpose(mean, (1, 0, 2))
+        logp_mean = jnp.log(jnp.maximum(mean_zvb[:, IA_P], 1e-3))
+        return pert_zkvb, mean_zvb, mean, logp_mean
+    return jax.jit(prep, donate_argnums=(0,) if donate else ())
+
+
 def _auto_level_chunk(nz: int, B: int, requested: int = 0,
-                      target: int = 65536) -> int:
-    """Levels per scan iteration. Small domains are launch-bound in a
-    per-level scan (dozens of tiny sequential kernels each level), so batch
-    levels until the gridpoint batch reaches ~`target`; full-size domains
-    (B ≥ target) keep chunk 1 so the per-iteration obs-gather memory stays
-    bounded. Must divide nz."""
+                      target: int = 4096) -> int:
+    """Levels per scan iteration. Tiny domains (test grids, the multichip
+    dryrun) are launch-bound in a per-level scan, so batch levels until the
+    gridpoint batch reaches ~`target`; production domains keep chunk 1 —
+    measured on v5e, larger chunks LOSE once the selection gathers are
+    payload-carrying sorts (worse locality for the per-level obs gather).
+    Must divide nz."""
     if requested > 0:
         c = min(requested, nz)
     else:
@@ -481,14 +501,18 @@ def analyze(
     lower_only: bool = False,     # return compiled HLO text (tests: verify
                                   # the ensemble transpose lowers to
                                   # all-to-all, not a remat fallback)
+    donate_gues: bool = False,    # hand the gues buffer to the prep jit so
+                                  # XLA reuses it (full-size domains: the
+                                  # state is GBs; the caller's array is
+                                  # invalidated)
 ) -> tuple[jax.Array, jax.Array | None, AnalysisDiag]:
     """Analysis update. Returns (anal, anal_det, diag)."""
     K, nv, nz, ny, nx = gues.shape
     dtype = gues.dtype
     B = ny * nx
 
-    mean = jnp.mean(gues, axis=0)
-    pert = gues - mean[None]
+    pert_zkvb, mean_zvb, mean, logp_mean = _prep_jit(bool(donate_gues))(
+        gues)
 
     if infl_field is None:
         infl0 = jnp.full((nz, B), cfg.letkf.infl_mul, dtype)
@@ -525,14 +549,10 @@ def analyze(
 
     fn = _build_analysis_fn(plan, mesh)
 
-    logp_mean = jnp.log(jnp.maximum(mean[IA_P], 1e-3)).reshape(nz, B)
     z_zb = jnp.asarray(z_full, dtype).reshape(nz, B)
-    pert_zkvb = jnp.transpose(pert.reshape(K, nv, nz, B), (2, 0, 1, 3))
-    mean_zvb = jnp.transpose(mean.reshape(nv, nz, B), (1, 0, 2))
     if gues_det is not None:
         det_r = jnp.asarray(gues_det, dtype).reshape(nv, nz, B)
-        pert_det_zvb = jnp.transpose(det_r - mean.reshape(nv, nz, B),
-                                     (1, 0, 2))
+        pert_det_zvb = jnp.transpose(det_r - mean, (1, 0, 2))
         mean_det_zvb = jnp.transpose(det_r, (1, 0, 2))
     else:
         pert_det_zvb = None
@@ -580,7 +600,8 @@ def analyze(
         anal = apply_additive_inflation(
             anal, jnp.asarray(addi_ens, dtype), cfg.letkf.infl_add,
             shuffle=shuffle, weight=weight,
-            q_ratio=cfg.letkf.infl_add_q_ratio, gues_mean=mean)
+            q_ratio=cfg.letkf.infl_add_q_ratio,
+            gues_mean=mean.reshape(nv, nz, ny, nx))
 
     adaptive = plan.adaptive
     rtps_out = None

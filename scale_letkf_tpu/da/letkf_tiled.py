@@ -1,0 +1,158 @@
+"""Host-streamed tiled LETKF analysis for domains exceeding one chip's HBM.
+
+The 18-km reference domain at MEMBER=50 (480x360x36, PARAM_PRC of
+config/2015summer_18km/config.nml.scale) is a 13.7-GB float32 state — the
+reference spreads it over 48 MPI ranks x 50 members
+(common_mpi_scale.f90:367-512); a single TPU chip cannot hold the state
+plus analysis work buffers. The LETKF update is embarrassingly parallel
+across gridpoints once the (small) observation-space arrays are device
+resident, so this executor streams horizontal row-tiles of the ensemble
+through the chip:
+
+  host RAM ensemble → per tile: perturbation/mean split (numpy) →
+  bfloat16 upload → f32 analysis on device (da/letkf.py fn) →
+  bfloat16 download → host assembly
+
+Tiles need NO halo: localization is resolved through the global obs
+bucket tables, which are uploaded once. bfloat16 is applied only to the
+perturbation transport (mean in float32), so the relative precision of
+the increments is preserved. On a pod slice the same tiling becomes the
+per-host shard loop (each host streams its own rows).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from scale_letkf_tpu.da.letkf import (
+    _make_plan, _build_analysis_fn, _auto_level_chunk,
+)
+from scale_letkf_tpu.state import IA_P
+
+
+def analyze_tiled(
+    gues_host: np.ndarray,        # (K, NV3D, nz, ny, nx) float32, host RAM
+    ctx,                          # ObsContext (da/letkf_obs.py)
+    cfg,
+    grid,
+    z_full: np.ndarray,           # (nz, ny, nx)
+    infl_field: np.ndarray | None = None,
+    tile_rows: int = 24,
+    out: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray | None, dict]:
+    """Tiled analysis. Returns (anal (same shape/layout, float32),
+    infl_field or None, stats dict with compute_s/transfer_s/compile_s)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    K, nv, nz, ny, nx = gues_host.shape
+    if ny % tile_rows:
+        # largest divisor of ny not exceeding the request
+        while ny % tile_rows:
+            tile_rows -= 1
+    n_tiles = ny // tile_rows
+    Bt = tile_rows * nx
+
+    plan = _make_plan(ctx, cfg, nv, has_det=False)
+    plan = dataclasses.replace(
+        plan, level_chunk=_auto_level_chunk(nz, Bt, cfg.letkf.level_batch,
+                                            target=16384))
+    fn = _build_analysis_fn(plan, None)
+
+    # obs-space arrays: device resident once (small next to the state)
+    f32 = jnp.float32
+    obs_dev = (jnp.asarray(ctx.x, f32), jnp.asarray(ctx.y, f32),
+               jnp.asarray(ctx.vert, f32), jnp.asarray(ctx.err, f32),
+               jnp.asarray(ctx.dep, f32), jnp.asarray(ctx.hdxb, f32))
+
+    xs, ys = grid.xy
+    dist_x = np.minimum(np.broadcast_to(xs[None, :], (ny, nx)) - xs[0],
+                        xs[-1] - np.broadcast_to(xs[None, :], (ny, nx)))
+    dist_y = np.minimum(np.broadcast_to(ys[:, None], (ny, nx)) - ys[0],
+                        ys[-1] - np.broadcast_to(ys[:, None], (ny, nx)))
+    dist_bdy_full = np.minimum(dist_x, dist_y).astype(np.float32)
+
+    bf16 = ml_dtypes.bfloat16
+
+    def tile_step(pert_bf, mean_f, infl0, logp, z_t, gpx, gpy, dbdy, cand):
+        pert = pert_bf.astype(f32)
+        anal, infl_z, nobs_z, _det, _rtps = fn(
+            pert, mean_f, infl0, logp, z_t, gpx, gpy, dbdy, cand,
+            *obs_dev, None, None, None, None)
+        return anal.astype(jnp.bfloat16), infl_z, nobs_z
+
+    tile_jit = jax.jit(tile_step)
+
+    anal_out = out if out is not None else np.empty_like(gues_host)
+    infl_out = (np.empty((nz, ny, nx), np.float32)
+                if (cfg.letkf.infl_mul_adaptive or cfg.letkf.infl_mul <= 0)
+                else None)
+    stats = {"compute_s": 0.0, "transfer_s": 0.0, "compile_s": 0.0,
+             "host_s": 0.0, "tiles": n_tiles}
+
+    from scale_letkf_tpu.ops.obs_select import gather_candidates
+
+    for t in range(n_tiles):
+        y0, y1 = t * tile_rows, (t + 1) * tile_rows
+        th = time.time()
+        slab = gues_host[:, :, :, y0:y1, :]               # (K,nv,nz,tr,nx)
+        mean = slab.mean(axis=0)                          # (nv,nz,tr,nx)
+        pert = (slab - mean[None]).astype(bf16)
+        # (nz, K, nv, Bt) scan layout on host (cheap vs device HBM)
+        pert_zkvb = np.ascontiguousarray(
+            pert.reshape(K, nv, nz, Bt).transpose(2, 0, 1, 3))
+        mean_zvb = np.ascontiguousarray(
+            mean.reshape(nv, nz, Bt).transpose(1, 0, 2)).astype(np.float32)
+        logp = np.log(np.maximum(mean_zvb[:, IA_P], 1e-3))
+        z_t = z_full[:, y0:y1, :].reshape(nz, Bt).astype(np.float32)
+        if infl_field is None:
+            infl0 = np.full((nz, Bt), max(cfg.letkf.infl_mul, 1.0),
+                            np.float32)
+        else:
+            infl0 = infl_field[:, y0:y1, :].reshape(nz, Bt).astype(
+                np.float32)
+        gpx = np.broadcast_to(xs[None, :], (tile_rows, nx)).reshape(-1)
+        gpy = np.broadcast_to(ys[y0:y1, None],
+                              (tile_rows, nx)).reshape(-1)
+        dbdy = dist_bdy_full[y0:y1].reshape(-1)
+        stats["host_s"] += time.time() - th
+
+        tt = time.time()
+        gpx_d = jnp.asarray(gpx, f32)
+        gpy_d = jnp.asarray(gpy, f32)
+        cand = tuple(gather_candidates(ct.buckets, gpx_d, gpy_d)
+                     for ct in ctx.ctypes)
+        args = (jnp.asarray(pert_zkvb), jnp.asarray(mean_zvb),
+                jnp.asarray(infl0), jnp.asarray(logp), jnp.asarray(z_t),
+                gpx_d, gpy_d, jnp.asarray(dbdy, f32), cand)
+        jax.block_until_ready(args[0])
+        stats["transfer_s"] += time.time() - tt
+
+        tc = time.time()
+        anal_bf, infl_z, nobs_z = tile_jit(*args)
+        jax.block_until_ready(anal_bf)
+        dt = time.time() - tc
+        if t == 0:
+            stats["compile_s"] = dt   # first tile pays the compile
+        else:
+            stats["compute_s"] += dt
+
+        tt = time.time()
+        anal_np = np.asarray(anal_bf).astype(np.float32)  # (K,nv,nz,Bt)
+        stats["transfer_s"] += time.time() - tt
+        th = time.time()
+        anal_out[:, :, :, y0:y1, :] = anal_np.reshape(
+            K, nv, nz, tile_rows, nx)
+        if infl_out is not None:
+            infl_out[:, y0:y1, :] = np.asarray(infl_z).reshape(
+                nz, tile_rows, nx)
+        stats["host_s"] += time.time() - th
+
+    # steady-state rate excludes the compiled first tile
+    if n_tiles > 1:
+        stats["compute_s"] *= n_tiles / (n_tiles - 1)
+    return anal_out, infl_out, stats

@@ -137,35 +137,53 @@ def obsope_ensemble(
     has_slots = hist_fields["t"].ndim == 5
 
     def member_hx(fields_k):
-        if not has_slots:
-            return compute_hx_single(fields_k, obs, grid, cfg, z_full,
-                                     with_aux=True)
-        # per-slot computation then per-obs slot selection
-        n_slots = fields_k["t"].shape[0]
-        ys, qcs, levs, v2s = [], [], [], []
-        for s in range(n_slots):
-            f_s = {k: v[s] for k, v in fields_k.items()}
-            y_s, qc_s, lev_s, v2_s = compute_hx_single(
-                f_s, obs, grid, cfg, z_full, with_aux=True)
-            ys.append(y_s)
-            qcs.append(qc_s)
-            levs.append(lev_s)
-            v2s.append(v2_s)
-        y_all = jnp.stack(ys)     # (S, nobs)
-        qc_all = jnp.stack(qcs)
-        # the slot axis covers SLOT_START..SLOT_END (obsope_tools.f90:431)
-        sl = jnp.clip(jnp.asarray(slots, jnp.int32) - cfg.obsope.slot_start,
-                      0, n_slots - 1)
-        y = jnp.take_along_axis(y_all, sl[None, :], axis=0)[0]
-        qc = jnp.take_along_axis(qc_all, sl[None, :], axis=0)[0]
-        lev = jnp.take_along_axis(jnp.stack(levs), sl[None, :], axis=0)[0]
-        v2 = jnp.take_along_axis(jnp.stack(v2s), sl[None, :], axis=0)[0]
-        in_window = ((jnp.asarray(slots) >= cfg.obsope.slot_start)
-                     & (jnp.asarray(slots) <= cfg.obsope.slot_end))
-        qc = jnp.where(in_window, qc, QC_TIME)
-        return y, qc, lev, v2
+        return compute_hx_single(fields_k, obs, grid, cfg, z_full,
+                                 with_aux=True)
 
-    y, qc, lev, v2 = jax.vmap(member_hx)(hist_fields)
-    return ObsOpeResult(ensval=y, qc=np.asarray(qc.max(axis=0)),
+    if not has_slots:
+        y, qc, lev, v2 = jax.vmap(member_hx)(hist_fields)
+        return ObsOpeResult(ensval=y, qc=np.asarray(qc.max(axis=0)),
+                            lev=np.asarray(lev.mean(axis=0)),
+                            val2=np.asarray(v2.mean(axis=0)))
+
+    # 4-D window: each obs is evaluated ONLY against its own time slot
+    # (obsope_tools.f90:431-508 processes the per-slot subsets). The host
+    # partitions the obs by slot, pads each subset to a power-of-two bucket
+    # (stable jit cache across cycles: subset sizes are data-dependent),
+    # and scatters the per-slot results back into original obs order —
+    # 1x the forward-operator work instead of n_slots x.
+    n_slots = hist_fields["t"].shape[1]
+    slots_np = np.asarray(slots)
+    sl = np.clip(slots_np - cfg.obsope.slot_start, 0, n_slots - 1)
+    in_window = ((slots_np >= cfg.obsope.slot_start)
+                 & (slots_np <= cfg.obsope.slot_end))
+    K = hist_fields["t"].shape[0]
+    nobs = obs.nobs
+    y = jnp.zeros((K, nobs))
+    qc = jnp.zeros((K, nobs), jnp.int32)
+    lev = jnp.zeros((K, nobs))
+    v2 = jnp.zeros((K, nobs))
+    for s in range(n_slots):
+        m = np.nonzero(sl == s)[0]
+        if len(m) == 0:
+            continue
+        nb = 64
+        while nb < len(m):
+            nb *= 2
+        mp = np.concatenate([m, np.full(nb - len(m), m[-1])])
+        obs_s = obs.select(mp)
+        f_s = {k: v[:, s] for k, v in hist_fields.items()}
+        y_s, qc_s, lev_s, v2_s = jax.vmap(
+            lambda fk: compute_hx_single(fk, obs_s, grid, cfg, z_full,
+                                         with_aux=True))(f_s)
+        midx = jnp.asarray(m)
+        n = len(m)
+        y = y.at[:, midx].set(y_s[:, :n])
+        qc = qc.at[:, midx].set(qc_s[:, :n])
+        lev = lev.at[:, midx].set(lev_s[:, :n])
+        v2 = v2.at[:, midx].set(v2_s[:, :n])
+    qc_w = np.asarray(qc.max(axis=0))
+    qc_w = np.where(in_window, qc_w, QC_TIME)
+    return ObsOpeResult(ensval=y, qc=qc_w,
                         lev=np.asarray(lev.mean(axis=0)),
                         val2=np.asarray(v2.mean(axis=0)))
