@@ -47,8 +47,11 @@ def load_config_and_grid(path: str, domain_overrides: dict | None = None):
     with open(path, "rb") as f:
         raw = tomllib.load(f)
     dom = raw.pop("domain", {})
+    nest = raw.pop("nest", None)   # one-way nested child domain (nested.py)
     if domain_overrides:
         dom.update(domain_overrides)
+    if nest is not None:
+        dom["nest"] = nest
     phys = raw.pop("physics", None)
     if phys is not None:
         dom["physics"] = phys
@@ -115,6 +118,36 @@ def make_driver(cfg, grid, dycfg, dom):
                        n_small=dom.get("n_small", 6),
                        bdy=bdy, bdy_width=dom.get("bdy_width", 0),
                        bdy_tau=dom.get("bdy_tau", 300.0))
+
+
+def make_nested(cfg, grid, dycfg, dom):
+    """[nest] section → (child driver, NestedCycleDriver, steps ratio).
+    The child inherits the parent's DA config; its domain is the [nest]
+    geometry (reference: NUM_DOMAIN telescoping nests, common_nml.f90:56)."""
+    from scale_letkf_tpu.grid import Grid, Projection
+    from scale_letkf_tpu.model.dycore import DycoreConfig
+    from scale_letkf_tpu.model.nesting import NestGeometry
+    from scale_letkf_tpu.nested import NestedCycleDriver
+
+    n = dom["nest"]
+    ratio = int(n.get("ratio", 3))
+    proj = Projection(**dom.get("projection", {}))
+    cgrid = Grid.uniform(
+        nx=n.get("nx", 24), ny=n.get("ny", 24), nz=n.get("nz", grid.nz),
+        dx=grid.dx / ratio, dy=grid.dy / ratio,
+        dz=n.get("dz", float(grid.fz[1] - grid.fz[0])), proj=proj)
+    cdycfg = DycoreConfig(
+        dx=cgrid.dx, dy=cgrid.dy, dz=float(cgrid.fz[1] - cgrid.fz[0]),
+        dt=n.get("dt", dycfg.dt / ratio), ztop=cgrid.ztop,
+        sponge_height=n.get("sponge_height", dycfg.sponge_height),
+        sponge_tau=n.get("sponge_tau", dycfg.sponge_tau),
+        lateral=n.get("lateral", "periodic"))
+    cdom = {"bdy_width": n.get("bdy_width", 4),
+            "bdy_tau": n.get("bdy_tau", 120.0)}
+    child = make_driver(cfg, cgrid, cdycfg, cdom)
+    geom = NestGeometry(i0=float(n.get("i0", 0.0)),
+                        j0=float(n.get("j0", 0.0)), ratio=ratio)
+    return child, geom, NestedCycleDriver
 
 
 def load_addi_ens(cfg, dirpath):

@@ -100,10 +100,12 @@ class CycleDriver:
             self.metrics = make_metrics(jnp.asarray(topo, jnp.float32),
                                         grid.cz, grid.fz, grid.dx, grid.dy)
 
-        # lateral boundary forcing (Davies relaxation)
+        # lateral boundary forcing (Davies relaxation). bdy may also be
+        # attached later (nesting parents assign per-cycle targets), so the
+        # relaxation weight exists whenever a buffer width is configured.
         self.bdy = bdy
         self._bdy_w2d = None
-        if bdy is not None and bdy_width > 0:
+        if bdy_width > 0:
             from scale_letkf_tpu.model.boundary import relaxation_weight
             self._bdy_w2d = relaxation_weight(grid.ny, grid.nx, bdy_width,
                                               bdy_tau)
@@ -129,31 +131,34 @@ class CycleDriver:
                 return rk3_step(s, dycfg, rho_ref, p_ref, self.z_centers,
                                 self.vg)
 
-        def apply_bdy(s, t):
-            """Davies nudging toward the time-interpolated target."""
+        def apply_bdy(s, t, bdy):
+            """Davies nudging toward the time-interpolated target. `bdy` is
+            the (state0, state1, t0, t1) runtime tuple — an ARGUMENT of the
+            jitted forecast, so per-cycle boundary updates (file sequences,
+            nesting parents) take effect without retracing."""
             from scale_letkf_tpu.model.boundary import (
                 apply_boundary_relaxation)
-            b = self.bdy
-            denom = max(b.t1 - b.t0, 1e-9)
-            a = jnp.clip((t - b.t0) / denom, 0.0, 1.0)
+            b0, b1, bt0, bt1 = bdy
+            denom = jnp.maximum(bt1 - bt0, 1e-9)
+            a = jnp.clip((t - bt0) / denom, 0.0, 1.0)
             target = DycoreState(*((1.0 - a) * x0 + a * x1
-                                   for x0, x1 in zip(b.state0, b.state1)))
+                                   for x0, x1 in zip(b0, b1)))
             return apply_boundary_relaxation(s, target, self._bdy_w2d,
                                              dycfg.dt)
 
-        def run_steps(s, nsteps, t0):
+        def run_steps(s, nsteps, t0, bdy=None):
             """nsteps dynamics steps (+ per-step boundary relaxation)."""
             def body(c, i):
                 c = dyn_step(c)
-                if self._bdy_w2d is not None:
+                if self._bdy_w2d is not None and bdy is not None:
                     t = t0 + (i.astype(jnp.float32) + 1.0) * jnp.float32(
                         dycfg.dt)
-                    c = apply_bdy(c, t)
+                    c = apply_bdy(c, t, bdy)
                 return c, None
             s, _ = jax.lax.scan(body, s, jnp.arange(nsteps))
             return s
 
-        def fcst_phys(s: DycoreState, nsteps: int, t0, tsfc0):
+        def fcst_phys(s: DycoreState, nsteps: int, t0, tsfc0, bdy=None):
             """Full-suite forecast threading the slab skin state: tsfc0
             None ⇒ initialize from the lowest-level air temperature (cold
             start); else continue the persisted state (the reference's
@@ -171,7 +176,7 @@ class CycleDriver:
                 c, ph = carry
                 tc = t0 + i.astype(jnp.float32) * jnp.float32(
                     chunk * dycfg.dt)
-                c = run_steps(c, chunk, tc)
+                c = run_steps(c, chunk, tc, bdy)
                 c, ph = physics_step(c, ph, i, phys_cfg,
                                      dycfg.dt * chunk, self.dz_phys,
                                      self.z_centers)
@@ -181,7 +186,8 @@ class CycleDriver:
                                         jnp.arange(n_chunks))
             if rem:
                 s = run_steps(
-                    s, rem, t0 + jnp.float32(n_chunks * chunk * dycfg.dt))
+                    s, rem, t0 + jnp.float32(n_chunks * chunk * dycfg.dt),
+                    bdy)
                 s, phys = physics_step(s, phys,
                                        jnp.int32(n_chunks), phys_cfg,
                                        dycfg.dt * rem, self.dz_phys,
@@ -189,47 +195,56 @@ class CycleDriver:
             return s, phys.tsfc
 
         def fcst_one(s: DycoreState, nsteps: int,
-                     t0=jnp.float32(0.0)) -> DycoreState:
+                     t0=jnp.float32(0.0), bdy=None) -> DycoreState:
             if not use_physics and phys_cfg is None:
-                return run_steps(s, nsteps, t0)
+                return run_steps(s, nsteps, t0, bdy)
             # interleave physics every phys_interval dynamics steps
             # (the reference's TIME_DT vs TIME_DT_ATMOS_PHY_* split)
             chunk = min(phys_interval, nsteps)
             n_chunks, rem = divmod(nsteps, chunk)
 
             if phys_cfg is not None:
-                s, _tsfc = fcst_phys(s, nsteps, t0, None)
+                s, _tsfc = fcst_phys(s, nsteps, t0, None, bdy)
                 return s
 
             def body(c, i):
                 tc = t0 + i.astype(jnp.float32) * jnp.float32(
                     chunk * dycfg.dt)
-                c = run_steps(c, chunk, tc)
+                c = run_steps(c, chunk, tc, bdy)
                 c = kessler_step(c, dycfg.dt * chunk, self.dz_col)
                 return c, None
 
             s, _ = jax.lax.scan(body, s, jnp.arange(n_chunks))
             if rem:
                 s = run_steps(s, rem,
-                              t0 + jnp.float32(n_chunks * chunk * dycfg.dt))
+                              t0 + jnp.float32(n_chunks * chunk * dycfg.dt),
+                              bdy)
                 s = kessler_step(s, dycfg.dt * rem, self.dz_col)
             return s
 
-        def fcst_ens(ens: DycoreState, nsteps: int, t0) -> DycoreState:
+        def fcst_ens(ens: DycoreState, nsteps: int, t0,
+                     bdy=None) -> DycoreState:
             if self.mesh is not None:
                 from scale_letkf_tpu.parallel.mesh import constrain_ensemble
                 ens = constrain_ensemble(self.mesh, ens)
-            out = jax.vmap(fcst_one, in_axes=(0, None, None))(ens, nsteps, t0)
+            # bdy (when present) is shared by all members (one-way forcing
+            # from a deterministic parent file); per-member boundary
+            # ensembles map over axis 0 instead
+            bdy_axes = None if bdy is None else (0, 0, None, None)                 if (bdy[0].rho.ndim == 4) else None
+            out = jax.vmap(fcst_one, in_axes=(0, None, None, bdy_axes))(
+                ens, nsteps, t0, bdy)
             if self.mesh is not None:
                 out = constrain_ensemble(self.mesh, out)
             return out
 
-        def fcst_ens_phys(ens: DycoreState, nsteps: int, t0, tsfc_ens):
+        def fcst_ens_phys(ens: DycoreState, nsteps: int, t0, tsfc_ens,
+                          bdy=None):
             if self.mesh is not None:
                 from scale_letkf_tpu.parallel.mesh import constrain_ensemble
                 ens = constrain_ensemble(self.mesh, ens)
-            out, tsfc = jax.vmap(fcst_phys, in_axes=(0, None, None, 0))(
-                ens, nsteps, t0, tsfc_ens)
+            out, tsfc = jax.vmap(fcst_phys,
+                                 in_axes=(0, None, None, 0, None))(
+                ens, nsteps, t0, tsfc_ens, bdy)
             if self.mesh is not None:
                 out = constrain_ensemble(self.mesh, out)
             return out, tsfc
@@ -247,6 +262,15 @@ class CycleDriver:
         # jitted program (da/fastcycle.py)
         self._fcst_ens_raw = fcst_ens
 
+    def _bdy_args(self):
+        """Runtime boundary tuple from the stored BoundaryData — traced
+        arguments, so self.bdy may be swapped between cycles (file
+        sequences, nesting parents) without retracing."""
+        if self.bdy is None or self._bdy_w2d is None:
+            return None
+        b = self.bdy
+        return (b.state0, b.state1, jnp.float32(b.t0), jnp.float32(b.t1))
+
     # -- forecast step (scale-rm_ens equivalent) --
     def forecast(self, ens: DycoreState, nsteps: int,
                  t0: float = 0.0) -> DycoreState:
@@ -254,6 +278,7 @@ class CycleDriver:
         (only meaningful with lateral-boundary forcing). With a physics
         suite, the slab skin state is threaded across calls (self.tsfc)."""
         with self.timer.section("forecast"):
+            bdy = self._bdy_args()
             if self._fcst_ens_phys is not None:
                 if self.tsfc is None:
                     from scale_letkf_tpu.model.physics_suite import (
@@ -262,15 +287,16 @@ class CycleDriver:
                         lambda s: init_physics_state(
                             s, self.dz_phys, self._phys_cfg).tsfc)(ens)
                 out, self.tsfc = self._fcst_ens_phys(
-                    ens, nsteps, jnp.float32(t0), self.tsfc)
+                    ens, nsteps, jnp.float32(t0), self.tsfc, bdy)
             else:
-                out = self._fcst_ens(ens, nsteps, jnp.float32(t0))
+                out = self._fcst_ens(ens, nsteps, jnp.float32(t0), bdy)
             jax.block_until_ready(out.rho)
         return out
 
     def forecast_one(self, s: DycoreState, nsteps: int,
                      t0: float = 0.0) -> DycoreState:
-        return self._fcst_one_jit(s, nsteps, jnp.float32(t0))
+        return self._fcst_one_jit(s, nsteps, jnp.float32(t0),
+                                  self._bdy_args())
 
     def forecast_slots(self, ens: DycoreState, nsteps: int,
                        slot_steps: list[int], t0: float = 0.0

@@ -59,6 +59,10 @@ class DycoreConfig:
     lateral: str = "periodic"  # 'periodic' (ideal) | 'open' (limited-area:
                                # edge-clamped stencils, signals exit; use
                                # with Davies boundary forcing)
+    advection: str = "xla"     # scalar-advection backend: 'xla' (fused
+                               # rolls — measured fastest on v5e) |
+                               # 'pallas' (ops/pallas_stencil.py fused UD3
+                               # kernel; periodic + uniform dz only)
 
 
 class DycoreState(NamedTuple):
@@ -265,8 +269,21 @@ def tendencies(s: DycoreState, cfg: DycoreConfig,
     drho = -div_center(fx, fy, s.rhow)
 
     # --- scalar advection (ρθ and tracers): flux = mass flux × face value
+    use_pallas = getattr(cfg, "advection", "xla") == "pallas"
+    if use_pallas and (vg is not None or _LATERAL[0] != "periodic"):
+        raise ValueError(
+            "advection='pallas' supports periodic lateral boundaries and "
+            "uniform vertical spacing only (ops/pallas_stencil.py)")
+
     def scalar_tend(fcen):
         phi = fcen / s.rho           # mixing-ratio form for consistency
+        if use_pallas:
+            from scale_letkf_tpu.ops.pallas_stencil import (
+                adv_flux_divergence_pallas)
+            adv = adv_flux_divergence_pallas(
+                phi, fx, fy, s.rhow, cfg.dx, cfg.dy, cfg.dz,
+                interpret=jax.devices()[0].platform != "tpu")
+            return adv + hyperdiff4(fcen, cfg.kdiff4)
         fl_x = fx * ud3_face_x(phi, fx)
         fl_y = fy * ud3_face_y(phi, fy)
         fl_z_int = fw_int * ud3_face_z(phi, fw_int)

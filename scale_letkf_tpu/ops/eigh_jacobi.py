@@ -2,19 +2,24 @@
 
 Alternative backend to jnp.linalg.eigh for the LETKF's batched K×K
 eigendecompositions (reference: the per-point EISPACK `rs` call,
-common/common_mtx.f90:41). Motivation (SURVEY §7 P6): at large ensemble
-sizes (K = 256..1024, the big-data-assimilation configs) the K³ eigensolve
-dominates the analysis; the parallel-ordered Jacobi method does all its
-work as batched K×K matmuls, mapping straight onto the MXU, and its sweep
-count is a fixed small number for the LETKF's well-conditioned SPD inputs
-(Gram matrix + (K-1)/ρ diagonal shift).
+common/common_mtx.f90:41).
+
+Role after hardware measurement (v5e, BENCH r02/r03): the row/column VPU
+form below is the FASTEST backend at small ensembles (K ≤ 16; 3.6M pts/s
+at K=8 vs 0.1M for jnp.linalg.eigh) and is what eigh_impl='auto' picks
+there. At larger K its matmul form loses to the Newton–Schulz
+inverse-sqrt path (ops/invsqrt.py), which sidesteps the
+eigendecomposition entirely — the LETKF transform needs only C^{-1/2} and
+C^{-1}; 'auto' dispatches to 'ns' for K > 16. The matmul Jacobi form is
+kept for callers that need actual eigenpairs at K > 64 without LAPACK.
 
 Algorithm: round-robin parallel ordering — each round pairs up all K
 indices into K/2 disjoint (p, q) pairs; the K-1 rounds of a sweep touch
 every pair once. Per round, the K/2 Givens rotations commute, so they form
 one orthogonal matrix J and the update is A ← JᵀAJ, V ← VJ — two batched
-matmuls. Convergence: off-diagonal norm decays quadratically; 6-10 sweeps
-reach float32 machine precision.
+matmuls (or, at small K, elementwise row/column combinations on the VPU).
+Convergence: off-diagonal norm decays quadratically; 6-10 sweeps reach
+float32 machine precision.
 """
 
 from __future__ import annotations

@@ -279,6 +279,12 @@ def gather_obs_data(
     dep rides along as an extra column of the hdxb table so the whole pull
     is ONE row gather — a separate scalar gather from the 1-D dep vector
     is ~25x slower on TPU (xprof-measured)."""
+    K = ensval_pert.shape[-1]
+    if ensval_pert.shape[0] == 0:
+        # zero-obs analysis (reference common_letkf.f90:89 zero-obs
+        # branch): every slot is padding
+        return (jnp.zeros(idx.shape, dep.dtype),
+                jnp.zeros(idx.shape + (K,), ensval_pert.dtype))
     valid = (idx >= 0)[..., None]
     safe = jnp.maximum(idx, 0)
     table = jnp.concatenate([dep[:, None], ensval_pert], axis=-1)

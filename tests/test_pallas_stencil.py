@@ -58,3 +58,45 @@ def test_pallas_upwind_selection():
                                          block_y=4, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_advection_wired_into_dycore():
+    """DycoreConfig.advection='pallas' drives the production scalar
+    advection through the fused kernel (interpret mode off-TPU) and
+    matches the XLA roll path."""
+    import numpy as np
+    from scale_letkf_tpu.model.dycore import DycoreConfig, rk3_step
+    from scale_letkf_tpu.model.ideal import balanced_state, add_warm_bubble
+    import jax.numpy as jnp
+
+    nz, ny, nx, dz = 8, 8, 16, 500.0
+    s0, rho_ref, p_ref = balanced_state(nz, ny, nx, dz)
+    s0 = add_warm_bubble(s0, dz, 1000.0, 1000.0, amplitude=2.0)
+    zc = jnp.asarray((np.arange(nz) + 0.5) * dz, jnp.float32)
+    kw = dict(dx=1000.0, dy=1000.0, dz=dz, dt=0.5, ztop=nz * dz)
+    out_x = rk3_step(s0, DycoreConfig(**kw), rho_ref, p_ref, zc)
+    out_p = rk3_step(s0, DycoreConfig(**kw, advection="pallas"),
+                     rho_ref, p_ref, zc)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_advection_rejects_unsupported():
+    import numpy as np
+    import pytest
+    from scale_letkf_tpu.model.dycore import (
+        DycoreConfig, rk3_step, make_vgrid)
+    from scale_letkf_tpu.model.ideal import balanced_state
+    import jax.numpy as jnp
+
+    nz, ny, nx, dz = 6, 8, 8, 400.0
+    s0, rho_ref, p_ref = balanced_state(nz, ny, nx, dz)
+    zc = jnp.asarray((np.arange(nz) + 0.5) * dz, jnp.float32)
+    fz = np.cumsum([0] + [400.0 * 1.1 ** k for k in range(nz)])
+    cz = 0.5 * (fz[1:] + fz[:-1])
+    vg = make_vgrid(cz, fz)
+    cfg = DycoreConfig(dx=1000.0, dy=1000.0, dz=dz, dt=0.5, ztop=nz * dz,
+                       advection="pallas")
+    with pytest.raises(ValueError, match="pallas"):
+        rk3_step(s0, cfg, rho_ref, p_ref, zc, vg)
