@@ -55,7 +55,14 @@ class Projection:
         return n, f
 
     def lonlat_to_xy(self, lon, lat):
-        """Lon/lat [deg] → projection coordinates [m] (basepoint at origin)."""
+        """Lon/lat [deg] → projection coordinates [m] (basepoint at origin).
+
+        Dispatches numpy-vs-jax on the input type: host-side setup calls
+        this with large numpy arrays (obs preprocessing), where eager jax
+        op-by-op dispatch is pathologically slow over a tunneled device;
+        traced callers (H(x) inside jit) keep the jnp path."""
+        import jax as _jax
+        jnp_ = jnp if isinstance(lon, (_jax.Array,)) else np
         lam = (lon - self.basepoint_lon) * D2R
         phi = lat * D2R
         phi0 = self.basepoint_lat * D2R
@@ -65,25 +72,27 @@ class Projection:
         elif self.kind == "MER":
             x = RE * np.cos(phi0) * lam
             y = RE * np.cos(phi0) * (
-                jnp.log(jnp.tan(np.pi / 4 + phi / 2))
+                jnp_.log(jnp_.tan(np.pi / 4 + phi / 2))
                 - np.log(np.tan(np.pi / 4 + phi0 / 2)))
         elif self.kind == "LC":
             n, f = self._lc
-            rho = RE * f / jnp.tan(np.pi / 4 + phi / 2) ** n
+            rho = RE * f / jnp_.tan(np.pi / 4 + phi / 2) ** n
             rho0 = RE * f / np.tan(np.pi / 4 + phi0 / 2) ** n
-            x = rho * jnp.sin(n * lam)
-            y = rho0 - rho * jnp.cos(n * lam)
+            x = rho * jnp_.sin(n * lam)
+            y = rho0 - rho * jnp_.cos(n * lam)
         elif self.kind == "PS":
             s = np.sign(self.basepoint_lat) or 1.0
-            k = 2 * RE / (1 + s * jnp.sin(phi))
+            k = 2 * RE / (1 + s * jnp_.sin(phi))
             k0 = 2 * RE / (1 + s * np.sin(phi0))
-            x = k * jnp.cos(phi) * jnp.sin(lam)
-            y = -s * k * jnp.cos(phi) * jnp.cos(lam) + s * k0 * np.cos(phi0)
+            x = k * jnp_.cos(phi) * jnp_.sin(lam)
+            y = -s * k * jnp_.cos(phi) * jnp_.cos(lam) + s * k0 * np.cos(phi0)
         else:
             raise ValueError(self.kind)
         return x, y
 
     def xy_to_lonlat(self, x, y):
+        import jax as _jax
+        jnp_ = jnp if isinstance(x, (_jax.Array,)) else np
         phi0 = self.basepoint_lat * D2R
         if self.kind == "EQ":
             lon = self.basepoint_lon + x / (RE * np.cos(phi0)) * R2D
@@ -91,23 +100,23 @@ class Projection:
         elif self.kind == "MER":
             c = RE * np.cos(phi0)
             lon = self.basepoint_lon + x / c * R2D
-            t = jnp.exp(y / c) * np.tan(np.pi / 4 + phi0 / 2)
-            lat = (2 * jnp.arctan(t) - np.pi / 2) * R2D
+            t = jnp_.exp(y / c) * np.tan(np.pi / 4 + phi0 / 2)
+            lat = (2 * jnp_.arctan(t) - np.pi / 2) * R2D
         elif self.kind == "LC":
             n, f = self._lc
             rho0 = RE * f / np.tan(np.pi / 4 + phi0 / 2) ** n
             yy = rho0 - y
-            rho = jnp.sqrt(x * x + yy * yy) * np.sign(n)
-            theta = jnp.arctan2(x, yy)
+            rho = jnp_.sqrt(x * x + yy * yy) * np.sign(n)
+            theta = jnp_.arctan2(x, yy)
             lon = self.basepoint_lon + theta / n * R2D
-            lat = (2 * jnp.arctan((RE * f / rho) ** (1.0 / n)) - np.pi / 2) * R2D
+            lat = (2 * jnp_.arctan((RE * f / rho) ** (1.0 / n)) - np.pi / 2) * R2D
         elif self.kind == "PS":
             s = np.sign(self.basepoint_lat) or 1.0
             k0 = 2 * RE / (1 + s * np.sin(phi0))
             yy = y - s * k0 * np.cos(phi0)
-            r = jnp.sqrt(x * x + yy * yy)
-            lat = s * (np.pi / 2 - 2 * jnp.arctan(r / (2 * RE))) * R2D
-            lon = self.basepoint_lon + jnp.arctan2(x, -s * yy) * R2D
+            r = jnp_.sqrt(x * x + yy * yy)
+            lat = s * (np.pi / 2 - 2 * jnp_.arctan(r / (2 * RE))) * R2D
+            lon = self.basepoint_lon + jnp_.arctan2(x, -s * yy) * R2D
         else:
             raise ValueError(self.kind)
         return lon, lat
