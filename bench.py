@@ -22,7 +22,6 @@ from __future__ import annotations
 import json
 import signal
 import time
-import traceback
 
 import numpy as np
 

@@ -73,12 +73,9 @@ def _load_cfg(path):
 def bench_radar_analysis(config="configs/bda_1km_radar.toml",
                          n_obs_target=1_000_000, seed=0):
     """Full-size dense-radar analysis on device. Returns a result dict."""
-    import jax
-    import jax.numpy as jnp
     from scale_letkf_tpu.obs.types import (
         Observations, ID_RADAR_REF, ID_RADAR_VR, TYP_PHARAD)
     from scale_letkf_tpu.da.letkf_obs import build_obs_context
-    from scale_letkf_tpu.da.letkf import analyze
 
     cfg, grid, dycfg, dom = _load_cfg(config)
     K = cfg.ensemble.member

@@ -35,7 +35,6 @@ needs the per-member cloud flag pipeline). Use cycle.py for those.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import numpy as np
 import jax

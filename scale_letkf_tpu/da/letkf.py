@@ -50,7 +50,7 @@ from scale_letkf_tpu.ops.letkf_core import (
 from scale_letkf_tpu.ops.obs_select import (
     gather_candidates, local_weights, limit_obs_topk, gather_obs_data,
 )
-from scale_letkf_tpu.state import IA_P, IA_Q0, NQ, NV3D
+from scale_letkf_tpu.state import IA_P, IA_Q0
 
 
 @dataclass

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from scale_letkf_tpu.model.boundary import BoundaryData
 from scale_letkf_tpu.model.nesting import NestGeometry, parent_to_child
