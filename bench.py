@@ -233,7 +233,7 @@ def main():
     tpu_gps = None
     for attempt in range(2):
         try:
-            _alarm(240)
+            _alarm(420)
             tpu_gps = bench_tpu()
             signal.alarm(0)
             break

@@ -162,7 +162,7 @@ def bench_radar_analysis(config="configs/bda_1km_radar.toml",
 
 
 def bench_18km_analysis(config="configs/18km_japan.toml", seed=0,
-                        tile_rows=45):
+                        tile_rows=20):
     """Full-size 18-km analysis. The K=50 480x360x36 state (13.7 GB f32)
     plus analysis buffers exceed one chip's HBM, so this uses the
     host-streamed tiled executor (da/letkf_tiled.py) — the single-chip

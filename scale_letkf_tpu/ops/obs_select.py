@@ -195,13 +195,14 @@ def local_weights(
     convention the reference uses)."""
     valid = cand_idx >= 0
     safe = jnp.maximum(cand_idx, 0)
-    # ONE row gather from a packed (nobs, 4) table instead of four scalar
-    # gathers: TPU lowers per-element gathers from 1-D operands ~25x
-    # slower than row gathers (measured via xprof on v5e)
-    table = jnp.stack([obs_x, obs_y, obs_vert, obs_err], axis=-1)
-    rows = table[safe]                        # (B, C, 4)
-    ox, oy, ov, oe = (rows[..., 0], rows[..., 1], rows[..., 2],
-                      rows[..., 3])
+    # separate scalar gathers here are fine (xprof: these were never the
+    # hot fusions); do NOT pack them into a (·, 4) table gather — XLA
+    # canonicalizes the slice dim minor and the TPU layout pads 4 → 128
+    # lanes, a 32x HBM blowup that OOMs the full-size configs
+    ox = obs_x[safe]
+    oy = obs_y[safe]
+    ov = obs_vert[safe]
+    oe = obs_err[safe]
 
     nd_h2 = ((gp_x[:, None] - ox) ** 2 + (gp_y[:, None] - oy) ** 2) / (
         hori_scale * hori_scale)
@@ -276,9 +277,11 @@ def gather_obs_data(
     """Gather (dep, hdxb) for the selected obs; padded slots get zeros
     (harmless because their rloc is 0 — see letkf_core padding contract).
 
-    dep rides along as an extra column of the hdxb table so the whole pull
-    is ONE row gather — a separate scalar gather from the 1-D dep vector
-    is ~25x slower on TPU (xprof-measured)."""
+    dep rides along as an extra row of the hdxb table so the whole pull is
+    ONE gather — a separate scalar gather from the 1-D dep vector is ~25x
+    slower on TPU (xprof-measured). The member axis leads in the gather
+    ((1+K, B, L)) so the large L dim stays minor; gathering (B, L, 1+K)
+    directly would tile-pad the minor 1+K dim to 128 lanes."""
     K = ensval_pert.shape[-1]
     if ensval_pert.shape[0] == 0:
         # zero-obs analysis (reference common_letkf.f90:89 zero-obs
@@ -287,8 +290,8 @@ def gather_obs_data(
                 jnp.zeros(idx.shape + (K,), ensval_pert.dtype))
     valid = (idx >= 0)[..., None]
     safe = jnp.maximum(idx, 0)
-    table = jnp.concatenate([dep[:, None], ensval_pert], axis=-1)
-    rows = table[safe]                        # (B, L, 1+K)
-    d = jnp.where(valid[..., 0], rows[..., 0], 0.0)
-    h = jnp.where(valid, rows[..., 1:], 0.0)
+    table = jnp.concatenate([dep[None, :], ensval_pert.T], axis=0)
+    rows = table[:, safe]                     # (1+K, B, L)
+    d = jnp.where(valid[..., 0], rows[0], 0.0)
+    h = jnp.where(valid, jnp.moveaxis(rows[1:], 0, -1), 0.0)
     return d, h
