@@ -3,16 +3,26 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
+Budgeted to finish inside the driver's timeout: a global wall-clock budget
+(BENCH_BUDGET_S env var, default 780 s) is enforced — every phase checks the
+remaining budget before starting and bounds itself with a SIGALRM capped at
+what is left, so the final JSON line ALWAYS prints. Phases that don't fit
+report "skipped(budget...)" strings instead of hanging the whole run
+(round-3 lesson: the unbudgeted version was killed at rc=124 and lost
+everything).
+
 - headline: letkf transform throughput at the BASELINE.json config[0] unit
   (K=8, 30 local obs, 1e4 gridpoints), latency-compensated salted chains.
 - letkf_core_sweep: reference ensemble sizes (MEMBER=50/100 operational,
-  K=1024 big-ensemble north star) across eigensolver backends, with an MFU
+  K=1024 big-ensemble north star) on the production backend per K
+  (VPU Jacobi at K=8, matmul-only Newton-Schulz above), with an MFU
   estimate from the algorithm's FLOP model.
 - da_cycle: marginal per-cycle wall-clock of the FUSED cycle (forecast +
   H(x) + QC + LETKF as one device program, da/fastcycle.py) vs the SAME
-  fused pipeline on host CPU — BASELINE.md's ≥10x cycle target.
-- full_size: the flagship configs at REFERENCE size, no overrides
-  (dense-radar in-core; 18-km via the host-streamed tiled executor).
+  fused pipeline on host CPU — BASELINE.md's ≥10x cycle target. CPU
+  baselines run as CONCURRENT subprocesses (they don't touch the device).
+- full_size: the flagship configs at REFERENCE size — only when enough
+  budget remains (raise BENCH_BUDGET_S to include them).
 
 Failures are REPORTED as strings in the JSON (never silently nulled).
 """
@@ -20,21 +30,39 @@ Failures are REPORTED as strings in the JSON (never silently nulled).
 from __future__ import annotations
 
 import json
+import os
 import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 V5E_BF16_PEAK = 197e12   # TPU v5e peak bf16 FLOP/s (MFU denominator)
 
+_T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "780"))
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _note(msg):
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
 
 class _Timeout(Exception):
     pass
 
 
-def _alarm(seconds: int):
+def _alarm(seconds: float):
     """Bound a phase with SIGALRM: a wedged accelerator tunnel hangs
-    compiles indefinitely without raising."""
+    compiles indefinitely without raising. The alarm is capped at the
+    remaining global budget (minus margin for the final JSON print)."""
+    seconds = max(1, int(min(seconds, _remaining() - 20)))
+
     def handler(signum, frame):
         raise _Timeout(f"phase exceeded {seconds}s alarm")
     signal.signal(signal.SIGALRM, handler)
@@ -114,42 +142,56 @@ def _transform_flops(K, L, impl):
     return gram + solver + apply_
 
 
-def bench_sweep(ks=(8, 50, 100, 1024), L=30):
-    """letkf_core throughput sweep over reference ensemble sizes
-    (MEMBER=50/100 operational configs, K=1024 big-ensemble north star —
-    BASELINE.md) across eigensolver backends ('ns' = the matmul-only
-    Newton-Schulz inverse sqrt, the production default at K>16), with an
-    MFU estimate vs v5e bf16 peak."""
-    bs = {8: 10_000, 50: 4096, 100: 2048, 1024: 32}
-    chains = {8: (8, 208), 50: (4, 44), 100: (4, 24), 1024: (1, 3)}
+def bench_sweep(headline_gps=None, L=30):
+    """letkf_core throughput at reference ensemble sizes (MEMBER=50/100
+    operational configs, K=1024 big-ensemble north star — BASELINE.md) on
+    the PRODUCTION backend per K ('jacobi' VPU sweeps at K=8, 'ns' =
+    matmul-only Newton-Schulz inverse sqrt above), with an MFU estimate vs
+    v5e bf16 peak. K=8/jacobi reuses the headline measurement (identical
+    configuration) instead of re-timing it."""
+    plan = [  # (K, impl, B, n_lo, n_hi, est_seconds)
+        (50, "ns", 4096, 4, 24, 150),
+        (100, "ns", 2048, 4, 16, 150),
+        (1024, "ns", 32, 1, 3, 180),
+    ]
     out = {}
-    for K in ks:
-        B = bs.get(K, 1024)
-        n_lo, n_hi = chains.get(K, (2, 10))
-        impls = ("lax", "ns", "jacobi") if K == 8 else ("lax", "ns")
-        out[f"K{K}"] = {}
-        for impl in impls:
-            try:
-                _alarm(600)
-                gps = bench_tpu(B=B, L=L, K=K, n_lo=n_lo, n_hi=n_hi,
-                                reps=2, eigh_impl=impl)
-                signal.alarm(0)
-                out[f"K{K}"][impl] = round(gps, 1)
-                out[f"K{K}"][f"{impl}_mfu_pct"] = round(
-                    100.0 * gps * _transform_flops(K, L, impl)
-                    / V5E_BF16_PEAK, 3)
-            except Exception as e:
-                signal.alarm(0)
-                out[f"K{K}"][impl] = _err_str(e)
+    if headline_gps is not None:
+        out["K8"] = {"jacobi": round(headline_gps, 1),
+                     "jacobi_mfu_pct": round(
+                         100.0 * headline_gps * _transform_flops(8, L, "jacobi")
+                         / V5E_BF16_PEAK, 3)}
+    for K, impl, B, n_lo, n_hi, est in plan:
+        out.setdefault(f"K{K}", {})
+        if _remaining() < est:
+            out[f"K{K}"][impl] = f"skipped(budget: {_remaining():.0f}s left)"
+            continue
+        try:
+            _alarm(est * 2)
+            gps = bench_tpu(B=B, L=L, K=K, n_lo=n_lo, n_hi=n_hi,
+                            reps=2, eigh_impl=impl)
+            signal.alarm(0)
+            out[f"K{K}"][impl] = round(gps, 1)
+            out[f"K{K}"][f"{impl}_mfu_pct"] = round(
+                100.0 * gps * _transform_flops(K, L, impl)
+                / V5E_BF16_PEAK, 3)
+            _note(f"sweep K={K} {impl}: {gps:.1f} pts/s")
+        except Exception as e:
+            signal.alarm(0)
+            out[f"K{K}"][impl] = _err_str(e)
+            _note(f"sweep K={K} {impl} FAILED: {_err_str(e)}")
     return out
 
 
-def bench_cycle(nsteps=5, platform_label=""):
+def bench_cycle(nsteps=5, platform_label="", n_cycles=4, seeds=2):
     """Marginal per-cycle wall-clock of the FUSED DA cycle (ensemble
     forecast + H(x) + in-graph QC + LETKF analysis as ONE device program,
     da/fastcycle.py) on a small-but-real configuration: SI core (HEVI),
     stretched levels, conventional network with the reference BDA obs cap.
-    Returns (seconds_per_cycle, meta)."""
+
+    One scan length only (one big compile); per-cycle = total/n_cycles.
+    The uncompensated host↔device latency (~ms) is <2% of n_cycles×cycle
+    time. Each rep uses a different seed so no call repeats inputs
+    (tunnel-side elision trap). Returns (seconds_per_cycle, meta)."""
     import jax
     from scale_letkf_tpu.config import Config, EnsembleConfig, LetkfConfig
     from scale_letkf_tpu.grid import Grid, Projection
@@ -189,30 +231,44 @@ def bench_cycle(nsteps=5, platform_label=""):
                                 levels_hpa=(900.0, 700.0, 500.0))
     fc = FusedCycle(driver, template, nsteps=nsteps)
 
-    n_lo, n_hi = 2, 6
-    # warm-up compiles both scan lengths
-    jax.block_until_ready(fc.run_osse(truth0, ens, n_lo, seed=0)[2][0])
-    jax.block_until_ready(fc.run_osse(truth0, ens, n_hi, seed=0)[2][0])
+    # warm-up compiles the single scan length
+    jax.block_until_ready(fc.run_osse(truth0, ens, n_cycles, seed=99)[2][0])
     best = np.inf
-    for r in range(2):
+    for r in range(seeds):
         t0 = time.perf_counter()
-        jax.block_until_ready(fc.run_osse(truth0, ens, n_lo, seed=r)[2][0])
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(fc.run_osse(truth0, ens, n_hi, seed=r)[2][0])
-        t_hi = time.perf_counter() - t0
-        per_cycle = (t_hi - t_lo) / (n_hi - n_lo)
-        if per_cycle > 0:
-            best = min(best, per_cycle)
+        jax.block_until_ready(
+            fc.run_osse(truth0, ens, n_cycles, seed=r)[2][0])
+        best = min(best, (time.perf_counter() - t0) / n_cycles)
     meta = {"grid": f"{NX}x{NY}x{NZ}", "members": K, "steps": nsteps,
             "nobs": int(template.nobs), "core": "si", "mode": "fused",
             "platform": platform_label}
     return best, meta
 
 
-def main():
-    import sys
+def _collect_subprocess(proc, deadline_s, label, result, err_key):
+    """Collect a concurrently-launched CPU-baseline subprocess: wait up to
+    deadline_s (but never past the global budget), parse the last stdout
+    line as a float, record errors under err_key."""
+    if proc is None:
+        return None
+    try:
+        timeout = max(1.0, min(deadline_s, _remaining() - 15))
+        out, _ = proc.communicate(timeout=timeout)
+        val = float(out.strip().splitlines()[-1])
+        _note(f"{label} cpu baseline: {val}")
+        return val
+    except Exception as e:
+        try:
+            proc.kill()
+            proc.communicate(timeout=10)
+        except Exception:
+            pass
+        result[err_key] = _err_str(e)
+        _note(f"{label} cpu baseline FAILED: {_err_str(e)}")
+        return None
 
+
+def main():
     if "--cpu-raw" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -229,33 +285,40 @@ def main():
         print(s)
         return
 
+    _note(f"budget {BUDGET_S:.0f}s")
     result = {}
+
+    # CPU baselines don't touch the device — run them CONCURRENTLY with
+    # the TPU phases as subprocesses, collect at the end.
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cpu_proc = subprocess.Popen(
+        [sys.executable, __file__, "--cpu-raw"], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    cpu_cycle_proc = subprocess.Popen(
+        [sys.executable, __file__, "--cycle-cpu-raw"], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+
     tpu_gps = None
     for attempt in range(2):
+        if _remaining() < 120:
+            break
         try:
-            _alarm(420)
+            _alarm(240)
             tpu_gps = bench_tpu()
             signal.alarm(0)
             result.pop("headline_error", None)   # a retry succeeded
+            _note(f"headline: {tpu_gps:.1f} pts/s")
             break
         except Exception as e:
             signal.alarm(0)
             result["headline_error"] = _err_str(e)
-            time.sleep(30.0)
-
-    # baseline: the SAME batched pipeline on this machine's CPU (a stronger
-    # baseline than the reference's per-point Fortran/LAPACK loop — a
-    # per-point NumPy transliteration measures ~100x slower than this)
-    import subprocess
-    cpu_gps = None
-    try:
-        r = subprocess.run([sys.executable, __file__, "--cpu-raw"],
-                           capture_output=True, text=True, timeout=900)
-        cpu_gps = float(r.stdout.strip().splitlines()[-1])
-    except Exception as e:
-        result["cpu_baseline_error"] = _err_str(e)
+            _note(f"headline attempt {attempt} FAILED: {_err_str(e)}")
+            time.sleep(10.0)
 
     if tpu_gps is None:
+        cpu_gps = _collect_subprocess(cpu_proc, 300, "headline", result,
+                                      "cpu_baseline_error")
+        cpu_cycle_proc.kill()
         print(json.dumps({
             "metric": "letkf_analysis_gridpoints_per_s_per_chip",
             "value": round(cpu_gps, 1) if cpu_gps else None,
@@ -265,51 +328,57 @@ def main():
         return
 
     try:
-        result["letkf_core_sweep_gridpoints_per_s"] = bench_sweep()
+        result["letkf_core_sweep_gridpoints_per_s"] = bench_sweep(
+            headline_gps=tpu_gps)
     except Exception as e:
         result["letkf_core_sweep_gridpoints_per_s"] = _err_str(e)
 
     # full DA-cycle wall-clock (fused forecast+obsope+analysis), device vs
     # the same fused pipeline on host CPU — BASELINE.md's ≥10x target
-    try:
-        _alarm(1500)
-        tpu_cycle_s, meta = bench_cycle(platform_label="device")
-        signal.alarm(0)
-        cpu_cycle_s = None
-        cycle = {"device_s": round(tpu_cycle_s, 4), **meta}
+    if _remaining() >= 180:
         try:
-            r = subprocess.run([sys.executable, __file__,
-                                "--cycle-cpu-raw"],
-                               capture_output=True, text=True, timeout=1800)
-            cpu_cycle_s = float(r.stdout.strip().splitlines()[-1])
-            cycle["cpu_s"] = round(cpu_cycle_s, 4)
-            cycle["speedup_vs_cpu"] = round(cpu_cycle_s / tpu_cycle_s, 2)
+            _alarm(max(240, _remaining() - 120))
+            tpu_cycle_s, meta = bench_cycle(platform_label="device")
+            signal.alarm(0)
+            _note(f"fused cycle: {tpu_cycle_s:.4f}s/cycle on device")
+            cycle = {"device_s": round(tpu_cycle_s, 4), **meta}
+            cpu_cycle_s = _collect_subprocess(
+                cpu_cycle_proc, 600, "cycle", cycle, "cpu_error")
+            if cpu_cycle_s:
+                cycle["cpu_s"] = round(cpu_cycle_s, 4)
+                cycle["speedup_vs_cpu"] = round(cpu_cycle_s / tpu_cycle_s, 2)
+            result["da_cycle"] = cycle
         except Exception as e:
-            cycle["cpu_error"] = _err_str(e)
-        result["da_cycle"] = cycle
-    except Exception as e:
-        signal.alarm(0)
-        result["da_cycle"] = _err_str(e)
+            signal.alarm(0)
+            result["da_cycle"] = _err_str(e)
+            _note(f"fused cycle FAILED: {_err_str(e)}")
+    else:
+        result["da_cycle"] = f"skipped(budget: {_remaining():.0f}s left)"
+        cpu_cycle_proc.kill()
 
-    # flagship configs at reference size (no domain_overrides)
+    # flagship configs at reference size (no domain_overrides) — each needs
+    # many minutes of device + tunnel-transfer time; run only with generous
+    # leftover budget (raise BENCH_BUDGET_S to include them; round-3
+    # builder-measured numbers are recorded in BASELINE.md)
     full = {}
-    try:
-        _alarm(2400)
-        from scale_letkf_tpu.bench_fullsize import bench_radar_analysis
-        full["radar_1km"] = bench_radar_analysis()
-        signal.alarm(0)
-    except Exception as e:
-        signal.alarm(0)
-        full["radar_1km"] = _err_str(e)
-    try:
-        _alarm(2400)
-        from scale_letkf_tpu.bench_fullsize import bench_18km_analysis
-        full["japan_18km"] = bench_18km_analysis()
-        signal.alarm(0)
-    except Exception as e:
-        signal.alarm(0)
-        full["japan_18km"] = _err_str(e)
+    for key, fn_name, est in (("radar_1km", "bench_radar_analysis", 600),
+                              ("japan_18km", "bench_18km_analysis", 1200)):
+        if _remaining() < est:
+            full[key] = f"skipped(budget: {_remaining():.0f}s left < {est}s)"
+            continue
+        try:
+            _alarm(_remaining() - 60)
+            import scale_letkf_tpu.bench_fullsize as bf
+            full[key] = getattr(bf, fn_name)()
+            signal.alarm(0)
+        except Exception as e:
+            signal.alarm(0)
+            full[key] = _err_str(e)
     result["full_size"] = full
+
+    # make sure the stray CPU headline subprocess is reaped
+    cpu_gps = _collect_subprocess(cpu_proc, 60, "headline", result,
+                                  "cpu_baseline_error")
 
     import jax
     platform = jax.devices()[0].platform

@@ -443,7 +443,45 @@ def cmd_cycle(args):
     rng = np.random.default_rng(0)
     from scale_letkf_tpu.da.obsope import assign_slots
     slot_steps = slot_steps_from_cfg(cfg, args.steps_per_cycle, dycfg.dt)
+
+    # one-way nested child domain ([nest] section → nested.py)
+    nested = c_ens = c_infl = None
+    steps_child = 0
+    if "nest" in dom:
+        if not (args.nest_init and args.nest_obs_pattern):
+            sys.exit("error: config has a [nest] section — pass both "
+                     "--nest-init and --nest-obs-pattern (or remove [nest])")
+        if det is not None or slot_steps is not None or addi is not None:
+            sys.exit("error: nested cycling does not combine with DET_RUN, "
+                     "4-D slots, or additive inflation yet")
+        child, geom, NestedCycleDriver = make_nested(cfg, grid, dycfg, dom)
+        nested = NestedCycleDriver(driver, child, geom)
+        # same wall-clock window at the child's finer dt
+        steps_child = int(round(args.steps_per_cycle * dycfg.dt
+                                / child.dycfg.dt))
+        c_ens, c_aux, _ = load_ensemble(args.nest_init)
+        c_ens = DycoreState(*(jnp.asarray(a) for a in c_ens))
+        c_infl = c_aux.get("infl")
+
     for c in range(args.cycles):
+        if nested is not None:
+            obs = read_obs_files(cfg, [args.obs_pattern.format(cycle=c)])
+            c_obs = read_obs_files(
+                cfg, [args.nest_obs_pattern.format(cycle=c)])
+            ens, c_ens, ninfo = nested.cycle(
+                ens, c_ens, obs, c_obs, args.steps_per_cycle, steps_child,
+                infl_p=infl, infl_c=c_infl)
+            info, c_info = ninfo["parent"], ninfo["child"]
+            if info["diag"].infl_field is not None:
+                infl = info["diag"].infl_field
+            if c_info["diag"].infl_field is not None:
+                c_infl = c_info["diag"].infl_field
+            print(f"=== cycle {c} ===")
+            print(info["stats_gues"].format("O-B"))
+            print(info["stats_anal"].format("O-A"))
+            print(c_info["stats_gues"].format("nest O-B"))
+            print(c_info["stats_anal"].format("nest O-A"))
+            continue
         hist = None
         if slot_steps is not None:
             ens, hist = driver.forecast_slots(ens, args.steps_per_cycle,
@@ -469,6 +507,11 @@ def cmd_cycle(args):
         aux_out["tsfc"] = np.asarray(driver.tsfc)
     save_ensemble(args.out, ens, basename="anal.@@@@", aux=aux_out, det=det,
                   meta={"cycles": args.cycles})
+    if nested is not None:
+        c_aux_out = {"infl": c_infl} if c_infl is not None else {}
+        save_ensemble(os.path.join(args.out, "nest"), c_ens,
+                      basename="anal.@@@@", aux=c_aux_out,
+                      meta={"cycles": args.cycles, "nest": True})
     print(driver.timer.report())
 
 
@@ -549,6 +592,10 @@ def main(argv=None):
     q.add_argument("--obs-pattern", required=True,
                    help="per-cycle obs path, e.g. obs/cycle{cycle}.dat")
     q.add_argument("--out", required=True)
+    q.add_argument("--nest-init", default=None,
+                   help="child-domain initial ensemble dir ([nest] configs)")
+    q.add_argument("--nest-obs-pattern", default=None,
+                   help="per-cycle child-domain obs path ([nest] configs)")
     q.set_defaults(fn=cmd_cycle)
 
     args = p.parse_args(argv)

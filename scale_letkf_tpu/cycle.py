@@ -242,8 +242,12 @@ class CycleDriver:
             if self.mesh is not None:
                 from scale_letkf_tpu.parallel.mesh import constrain_ensemble
                 ens = constrain_ensemble(self.mesh, ens)
+            # same per-member-vs-broadcast boundary dispatch as fcst_ens:
+            # a (K,nz,ny,nx) boundary ensemble maps over axis 0
+            bdy_axes = (0, 0, None, None) \
+                if (bdy is not None and bdy[0].rho.ndim == 4) else None
             out, tsfc = jax.vmap(fcst_phys,
-                                 in_axes=(0, None, None, 0, None))(
+                                 in_axes=(0, None, None, 0, bdy_axes))(
                 ens, nsteps, t0, tsfc_ens, bdy)
             if self.mesh is not None:
                 out = constrain_ensemble(self.mesh, out)

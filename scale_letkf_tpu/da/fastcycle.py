@@ -90,11 +90,23 @@ class FusedCycle:
 
         # geometric obs context: every template obs enters the buckets (the
         # per-cycle QC is the in-graph good mask, not a host subsetting).
-        # qc_and_departures sees ensval == dat so departures are zero and no
-        # QC fires during this *structural* pass.
-        ensval0 = np.broadcast_to(template.dat, (2, template.nobs))
-        ctx = build_obs_context(template, ensval0.astype(np.float64),
-                                np.zeros(template.nobs, np.int32), cfg, grid)
+        # structural=True guarantees no value-dependent preprocessing or QC
+        # touches the (already preprocessed) template — only static checks
+        # (disabled obs kinds, undefined values) run here, so no-rain
+        # ref-zero obs keep their bucket slots and dBZ values stay intact.
+        template = template.select(slice(None))  # private copy
+        r = cfg.radar
+        is_ref_t = ((template.elem == ID_RADAR_REF)
+                    | (template.elem == ID_RADAR_REF_ZERO))
+        if r.use_obserr_radar_ref:   # idempotent err override from
+            template.err[is_ref_t] = cfg.obs_error.radar_ref  # preprocess
+        if r.use_obserr_radar_vr:
+            template.err[template.elem == ID_RADAR_VR] = \
+                cfg.obs_error.radar_vr
+        self.template = template     # the copy, with err overrides applied
+        ctx = build_obs_context(template, None,
+                                np.zeros(template.nobs, np.int32), cfg, grid,
+                                structural=True)
         if len(ctx.ctypes) == 0:
             raise ValueError("obs template produced no usable ctypes")
         self.ctx = ctx

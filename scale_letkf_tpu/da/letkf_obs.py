@@ -251,17 +251,43 @@ def qc_and_departures(
 
 def build_obs_context(
     obs: Observations,
-    ensval: "np.ndarray | jax.Array",  # (K, nobs)
+    ensval: "np.ndarray | jax.Array | None",  # (K, nobs)
     qc_in: np.ndarray,
     cfg: Config,
     grid: Grid,
     ensval_det: np.ndarray | None = None,
     hx_lev: np.ndarray | None = None,
+    structural: bool = False,
 ) -> ObsContext:
-    """Full set_letkf_obs pipeline → ObsContext with per-ctype buckets."""
-    obs = preprocess_radar_obs(obs, cfg)
-    dep, hdxb, qc, depd = qc_and_departures(obs, ensval, qc_in, cfg,
-                                            ensval_det, hx_lev)
+    """Full set_letkf_obs pipeline → ObsContext with per-ctype buckets.
+
+    structural=True builds a template-only context for the fused cycle
+    (da/fastcycle.py): obs *values* are runtime inputs there, so no
+    value-dependent preprocessing or QC may run — the template must already
+    be preprocessed (preprocess_radar_obs) and only static checks apply
+    (disabled obs kinds → QC_OTYPE, undefined template values → QC_OBS_BAD).
+    Every obs passing the static checks enters the selection buckets; the
+    per-cycle gross-error and radar min-member checks are the in-graph good
+    mask instead (letkf_obs.f90:384-561 semantics, applied per cycle)."""
+    if structural:
+        obs = obs.select(slice(None))  # copy
+        qc = qc_in.astype(np.int32).copy()
+        r = cfg.radar
+        is_ref = ((obs.elem == ID_RADAR_REF)
+                  | (obs.elem == ID_RADAR_REF_ZERO))
+        if not r.use_radar_ref:
+            qc[is_ref & (qc == QC_GOOD)] = QC_OTYPE
+        if not r.use_radar_vr:
+            qc[(obs.elem == ID_RADAR_VR) & (qc == QC_GOOD)] = QC_OTYPE
+        qc[obs.dat == UNDEF] = QC_OBS_BAD
+        K = 2 if ensval is None else int(ensval.shape[0])
+        dep = np.zeros(obs.nobs)
+        hdxb = np.zeros((obs.nobs, K))
+        depd = None
+    else:
+        obs = preprocess_radar_obs(obs, cfg)
+        dep, hdxb, qc, depd = qc_and_departures(obs, ensval, qc_in, cfg,
+                                                ensval_det, hx_lev)
     good = qc == QC_GOOD
 
     x, y = grid.proj.lonlat_to_xy(obs.lon, obs.lat)

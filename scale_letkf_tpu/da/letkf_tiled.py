@@ -49,6 +49,23 @@ def analyze_tiled(
     import jax.numpy as jnp
     import ml_dtypes
 
+    # explicit guards instead of silently feature-stripped analyses: the
+    # tile loop does not thread a deterministic member, additive inflation,
+    # or the RTPS output field (mirrors analyze()'s raise-on-unsupported
+    # contract, da/letkf.py)
+    if cfg.letkf.infl_add > 0:
+        raise NotImplementedError(
+            "analyze_tiled does not support additive inflation "
+            "(INFL_ADD > 0; letkf_tools.f90:804-929) — use analyze()")
+    if cfg.letkf.relax_spread_out:
+        raise NotImplementedError(
+            "analyze_tiled does not support RELAX_SPREAD_OUT — "
+            "use analyze()")
+    if cfg.ensemble.det_run:
+        raise NotImplementedError(
+            "analyze_tiled does not support a deterministic member "
+            "(DET_RUN; letkf_tools.f90:489-497) — use analyze()")
+
     K, nv, nz, ny, nx = gues_host.shape
     if ny % tile_rows:
         # largest divisor of ny not exceeding the request
@@ -110,8 +127,12 @@ def analyze_tiled(
         logp = np.log(np.maximum(mean_zvb[:, IA_P], 1e-3))
         z_t = z_full[:, y0:y1, :].reshape(nz, Bt).astype(np.float32)
         if infl_field is None:
-            infl0 = np.full((nz, Bt), max(cfg.letkf.infl_mul, 1.0),
-                            np.float32)
+            # match analyze(): configured value as-is (deflation 0<mul<1
+            # included); 1.0 only as the adaptive cold start when mul <= 0
+            infl0 = np.full(
+                (nz, Bt),
+                cfg.letkf.infl_mul if cfg.letkf.infl_mul > 0 else 1.0,
+                np.float32)
         else:
             infl0 = infl_field[:, y0:y1, :].reshape(nz, Bt).astype(
                 np.float32)
