@@ -65,29 +65,97 @@ def _synthetic_gues(rng, K, nz, ny, nx, cz):
     return out
 
 
-def _load_cfg(path):
+def _load_cfg(path, overrides=None):
     from scale_letkf_tpu.cli.main import load_config_and_grid
-    return load_config_and_grid(path)
+    return load_config_and_grid(path, domain_overrides=overrides)
 
 
-def bench_radar_analysis(config="configs/bda_1km_radar.toml",
-                         n_obs_target=1_000_000, seed=0):
-    """Full-size dense-radar analysis on device. Returns a result dict."""
+def _host_profiles(grid, dom):
+    """Hydrostatic base profiles on HOST (no device transfers — eager jnp
+    on big host arrays is a round trip per op over tunneled accelerators)."""
+    from scale_letkf_tpu.model.ideal import (
+        standard_theta_profile, hydrostatic_reference)
+    cz = np.asarray(grid.cz)
+    dz0 = float(np.asarray(grid.fz)[1] - np.asarray(grid.fz)[0])
+    theta = np.asarray(standard_theta_profile(grid.nz, dz0, cz=cz))
+    rho1d, p1d = (np.asarray(a) for a in
+                  hydrostatic_reference(theta, dz0, cz=cz))
+    qv0 = dom.get("qv_surface", 0.0)
+    qv = (qv0 * np.exp(-cz / dom.get("qv_scale_height", 3000.0))
+          ).astype(np.float32) if qv0 > 0 else np.zeros(grid.nz, np.float32)
+    return theta.astype(np.float32), rho1d.astype(np.float32), \
+        p1d.astype(np.float32), qv
+
+
+def _synthetic_ens_dycore(rng, K, grid, dom, amp_theta=0.5,
+                          qr_blob: float = 0.0):
+    """Host-RAM DycoreState ensemble around the balanced base state with
+    tapered per-member RHOT perturbations (the reference's init_perturb.py
+    recipe: random tapered RHOT noise, scale/run/python/init_perturb.py).
+    Optional per-member rain blobs (qr_blob [kg/kg] peak) give the radar
+    operator echoes. Returns (DycoreState of np arrays (K leading),
+    rho_ref (nz,1,1), p_ref (nz,1,1))."""
+    from scale_letkf_tpu.model.dycore import DycoreState
+    from scale_letkf_tpu.state import NQ
+    from scale_letkf_tpu.constants import RD, CPDRY, CVDRY, PRE00
+
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    theta, rho1d, p1d, qv = _host_profiles(grid, dom)
+    # lateral taper (perturbations vanish at the boundary buffer)
+    tx = np.minimum(np.arange(nx), nx - 1 - np.arange(nx))
+    ty = np.minimum(np.arange(ny), ny - 1 - np.arange(ny))
+    taper = (np.minimum(1.0, tx / 8.0)[None, :]
+             * np.minimum(1.0, ty / 8.0)[:, None]).astype(np.float32)
+
+    rho = np.broadcast_to(rho1d[:, None, None], (nz, ny, nx))
+    s = DycoreState(
+        rho=np.empty((K, nz, ny, nx), np.float32),
+        rhou=np.zeros((K, nz, ny, nx), np.float32),
+        rhov=np.zeros((K, nz, ny, nx), np.float32),
+        rhow=np.zeros((K, nz + 1, ny, nx), np.float32),
+        rhot=np.empty((K, nz, ny, nx), np.float32),
+        rhoq=np.zeros((K, NQ, nz, ny, nx), np.float32))
+    base_rhot = (rho1d * theta)[:, None, None]
+    qv_rho = (qv * rho1d)[:, None, None]
+    k, j, i = np.mgrid[0:nz, 0:ny, 0:nx]
+    for m in range(K):
+        s.rho[m] = rho
+        dtheta = amp_theta * _smooth_noise(rng, (nz, ny, nx), passes=1)
+        s.rhot[m] = base_rhot + rho * dtheta * taper[None]
+        s.rhoq[m, 0] = qv_rho
+        if qr_blob > 0:
+            cx = nx * (0.35 + 0.3 * rng.random())
+            cy = ny * (0.35 + 0.3 * rng.random())
+            blob = np.exp(-(((i - cx) / (0.12 * nx)) ** 2
+                            + ((j - cy) / (0.12 * ny)) ** 2
+                            + ((k - 0.3 * nz) / (0.2 * nz)) ** 2)
+                          ).astype(np.float32)
+            s.rhoq[m, 2] += qr_blob * blob * rho
+            s.rhoq[m, 1] += 0.5 * qr_blob * blob * rho
+    p_ref = PRE00 * (rho1d * theta * RD / PRE00) ** (CPDRY / CVDRY)
+    return s, rho1d.reshape(nz, 1, 1), p_ref.astype(np.float32).reshape(
+        nz, 1, 1)
+
+
+def _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref):
+    """CycleDriver without make_driver's full-3-D balanced_state device
+    allocation (only the (nz,1,1) reference columns are needed)."""
+    import jax.numpy as jnp
+    from scale_letkf_tpu.cycle import CycleDriver
+    return CycleDriver(grid, cfg, dycfg, jnp.asarray(rho_ref),
+                       jnp.asarray(p_ref),
+                       use_physics=dom.get("use_physics", False),
+                       core=dom.get("core", "explicit"),
+                       n_small=dom.get("n_small", 6))
+
+
+def _synthetic_radar_volume(cfg, dom, rng, n_obs_target=1_000_000):
+    """Synthetic phased-array volume positions: az × elev × range gates
+    around the configured radar (the reference PAWR: 100-m gates, 110
+    elevations). dat is filled with plausible linear-Z noise; cycle
+    benches overwrite it with H(truth)."""
     from scale_letkf_tpu.obs.types import (
         Observations, ID_RADAR_REF, ID_RADAR_VR, TYP_PHARAD)
-    from scale_letkf_tpu.da.letkf_obs import build_obs_context
-
-    cfg, grid, dycfg, dom = _load_cfg(config)
-    K = cfg.ensemble.member
-    nz, ny, nx = grid.nz, grid.ny, grid.nx
-    rng = np.random.default_rng(seed)
-
-    t0 = time.time()
-    gues_np = _synthetic_gues(rng, K, nz, ny, nx, np.asarray(grid.cz))
-    gen_s = time.time() - t0
-
-    # synthetic phased-array volume: az × elev × range gates around the
-    # domain-center radar (the reference PAWR: 100-m gates, 110 elevations)
     radar_lon = dom.get("radar_lon", 135.5)
     radar_lat = dom.get("radar_lat", 34.8)
     n_az, n_el = 120, 55
@@ -118,18 +186,36 @@ def bench_radar_analysis(config="configs/bda_1km_radar.toml",
     dat[1::2] = 5.0 * rng.standard_normal(n2)
     err = np.where(elem == ID_RADAR_REF, cfg.obs_error.radar_ref,
                    cfg.obs_error.radar_vr)
-    obs = Observations(
+    return Observations(
         elem=elem, lon=dup(lon), lat=dup(lat), lev=dup(gz), dat=dat,
         err=err, typ=np.full(2 * n2, TYP_PHARAD, np.int32),
         dif=np.zeros(2 * n2),
         meta=np.asarray([radar_lon, radar_lat, dom.get("radar_z", 80.0)]))
+
+
+def bench_radar_analysis(config="configs/bda_1km_radar.toml",
+                         n_obs_target=1_000_000, seed=0):
+    """Full-size dense-radar analysis on device. Returns a result dict."""
+    from scale_letkf_tpu.da.letkf_obs import build_obs_context
+
+    cfg, grid, dycfg, dom = _load_cfg(config)
+    K = cfg.ensemble.member
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    rng = np.random.default_rng(seed)
+
+    t0 = time.time()
+    gues_np = _synthetic_gues(rng, K, nz, ny, nx, np.asarray(grid.cz))
+    gen_s = time.time() - t0
+
+    obs = _synthetic_radar_volume(cfg, dom, rng, n_obs_target)
+    dat = obs.dat
 
     # synthetic ensemble H(x): dat + spread-consistent noise (the bench
     # measures the analysis engine; obsope is benchmarked separately)
     t0 = time.time()
     ensval = (dat[None, :]
               + rng.standard_normal((K, len(dat))).astype(np.float32)
-              * err[None, :])
+              * obs.err[None, :])
     ctx = build_obs_context(obs, ensval, np.zeros(len(dat), np.int32),
                             cfg, grid)
     prep_s = time.time() - t0
@@ -161,31 +247,15 @@ def bench_radar_analysis(config="configs/bda_1km_radar.toml",
     }
 
 
-def bench_18km_analysis(config="configs/18km_japan.toml", seed=0,
-                        tile_rows=20):
-    """Full-size 18-km analysis. The K=50 480x360x36 state (13.7 GB f32)
-    plus analysis buffers exceed one chip's HBM, so this uses the
-    host-streamed tiled executor (da/letkf_tiled.py) — the single-chip
-    counterpart of the reference's 48-rank domain decomposition."""
-    import jax
+def _synthetic_conv_network(cfg, grid, rng, n_sonde=700, n_ps=2000):
+    """Synthetic PREPBUFR-style network: ~700 sondes × 8 levels × 4 vars
+    + 2000 surface pressure reports (JMA-era conventional density). dat is
+    filled with plausible constants; cycle benches overwrite with
+    H(truth) + noise."""
     from scale_letkf_tpu.obs.types import Observations, ID_U, ID_V, ID_T, \
         ID_Q, ID_PS
-    from scale_letkf_tpu.da.letkf_obs import build_obs_context
-    from scale_letkf_tpu.da.letkf_tiled import analyze_tiled
-
-    cfg, grid, dycfg, dom = _load_cfg(config)
-    K = cfg.ensemble.member
-    nz, ny, nx = grid.nz, grid.ny, grid.nx
-    rng = np.random.default_rng(seed)
-
-    t0 = time.time()
-    gues_np = _synthetic_gues(rng, K, nz, ny, nx, np.asarray(grid.cz))
-    gen_s = time.time() - t0
-
-    # synthetic PREPBUFR-style network: ~700 sondes × 8 levels × 4 vars
-    # + 2000 surface pressure reports (JMA-era conventional density)
+    nx, ny = grid.nx, grid.ny
     lon2d, lat2d = grid.lonlat
-    n_sonde, n_ps = 700, 2000
     si = rng.integers(2, nx - 2, n_sonde)
     sj = rng.integers(2, ny - 2, n_sonde)
     levs = np.asarray([925., 850., 700., 500., 400., 300., 250., 200.]) * 100
@@ -213,11 +283,33 @@ def bench_18km_analysis(config="configs/18km_japan.toml", seed=0,
     dat = np.where(elem == ID_T, 280.0,
                    np.where(elem == ID_PS, 1000e2,
                             np.where(elem == ID_Q, 5e-3, 5.0))).astype(float)
-    err = np.asarray(rec_err)
-    obs = Observations(elem=elem, lon=np.asarray(rec_lon),
-                       lat=np.asarray(rec_lat), lev=np.asarray(rec_lev),
-                       dat=dat, err=err, typ=np.zeros(nobs, np.int32),
-                       dif=np.zeros(nobs))
+    return Observations(elem=elem, lon=np.asarray(rec_lon),
+                        lat=np.asarray(rec_lat), lev=np.asarray(rec_lev),
+                        dat=dat, err=np.asarray(rec_err),
+                        typ=np.zeros(nobs, np.int32), dif=np.zeros(nobs))
+
+
+def bench_18km_analysis(config="configs/18km_japan.toml", seed=0,
+                        tile_rows=20):
+    """Full-size 18-km analysis. The K=50 480x360x36 state (13.7 GB f32)
+    plus analysis buffers exceed one chip's HBM, so this uses the
+    host-streamed tiled executor (da/letkf_tiled.py) — the single-chip
+    counterpart of the reference's 48-rank domain decomposition."""
+    from scale_letkf_tpu.da.letkf_obs import build_obs_context
+    from scale_letkf_tpu.da.letkf_tiled import analyze_tiled
+
+    cfg, grid, dycfg, dom = _load_cfg(config)
+    K = cfg.ensemble.member
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    rng = np.random.default_rng(seed)
+
+    t0 = time.time()
+    gues_np = _synthetic_gues(rng, K, nz, ny, nx, np.asarray(grid.cz))
+    gen_s = time.time() - t0
+
+    obs = _synthetic_conv_network(cfg, grid, rng)
+    nobs = obs.nobs
+    dat, err = obs.dat, obs.err
     ensval = (dat[None, :] + rng.standard_normal((K, nobs)) * err[None, :]
               ).astype(np.float32)
     t0 = time.time()
@@ -243,11 +335,142 @@ def bench_18km_analysis(config="configs/18km_japan.toml", seed=0,
     }
 
 
+def _obs_from_truth(sc, truth_1, obs, nsteps, rng, radar=False, cfg=None):
+    """Overwrite obs.dat with H(truth at analysis time) + noise using the
+    streamed executor (truth_1: 1-member DycoreState host arrays). Radar
+    REF values are converted back to the linear-Z file convention and
+    below-floor gates become weak echoes (the preprocessing relabels them
+    ref-zero, as with real radar files). Obs whose operator QC failed are
+    dropped."""
+    from scale_letkf_tpu.obs.types import (
+        QC_GOOD, QC_REF_LOW, ID_RADAR_REF)
+    _, y, qc, _ = sc.forecast_and_hx(truth_1, nsteps, obs)
+    y = y[0]
+    keep = (qc == QC_GOOD) | (radar & (qc == QC_REF_LOW))
+    obs = obs.select(keep)
+    yk = y[keep] + rng.standard_normal(int(keep.sum())) * obs.err
+    if radar:
+        m = obs.elem == ID_RADAR_REF
+        yk[m] = 10.0 ** (yk[m] / 10.0)          # dBZ -> linear Z file units
+        low = m & (qc[keep] == QC_REF_LOW)
+        yk[low] = 0.5 * cfg.radar.min_radar_ref  # weak echo -> ref-zero
+    obs.dat = yk
+    return obs
+
+
+def bench_18km_cycle(config="configs/18km_japan.toml", nsteps=10, seed=0,
+                     member_batch=5, tile_rows=20, overrides=None,
+                     n_sonde=700, n_ps=2000, members=None):
+    """ONE complete 18-km DA cycle at reference size — ensemble forecast +
+    full-size obsope + LETKF — via the member-streamed executor
+    (da/bigcycle.py). The forecast runs `nsteps` of the 720-step 6-h
+    window (LCYCLE=21600 s at dt=30 s, config/2015summer_18km); the
+    measured steady-state per-member-step cost extrapolates to the full
+    window and is reported alongside."""
+    from scale_letkf_tpu.da.bigcycle import StreamedCycle, phase_table
+
+    cfg, grid, dycfg, dom = _load_cfg(config, overrides)
+    if members:
+        cfg.ensemble.member = members
+    K = cfg.ensemble.member
+    rng = np.random.default_rng(seed)
+
+    t0 = time.time()
+    ens, rho_ref, p_ref = _synthetic_ens_dycore(rng, K + 1, grid, dom)
+    gen_s = time.time() - t0
+    driver = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref)
+    sc = StreamedCycle(driver, member_batch=member_batch,
+                       tile_rows=tile_rows)
+
+    import jax
+    truth = jax.tree.map(lambda a: a[:1], ens)
+    ens = jax.tree.map(lambda a: np.ascontiguousarray(a[1:]), ens)
+    obs = _synthetic_conv_network(cfg, grid, rng, n_sonde=n_sonde,
+                                  n_ps=n_ps)
+    obs = _obs_from_truth(sc, truth, obs, nsteps, rng)
+
+    ens_a, infl, report = sc.cycle(ens, obs, nsteps)
+    print(phase_table(report))
+    window_steps = int(round(21600.0 / dycfg.dt))
+    per_mem_step = report["fcst_s"] / (K * nsteps)
+    sg = report.pop("stats_gues")
+    sa = report.pop("stats_anal", None)
+    out = {
+        "config": config, "grid": f"{grid.nx}x{grid.ny}x{grid.nz}",
+        "members": K, "nobs": int(obs.nobs),
+        "nobs_good": int(sum(sg.nobs.values())),
+        "steps_run": nsteps, "window_steps": window_steps,
+        "s_per_member_step": round(per_mem_step, 4),
+        "fcst_full_window_extrapolated_s": round(
+            per_mem_step * K * window_steps, 1),
+        "state_gen_s": round(gen_s, 1),
+        "peak_hbm_gb": _device_mem_gb(),
+        **{k: round(v, 2) for k, v in report.items()
+           if isinstance(v, (int, float))},
+    }
+    if sa is not None and sg.nobs.get("T"):
+        out["omb_rmse_T"] = round(sg.rmse["T"], 4)
+        out["oma_rmse_T"] = round(sa.rmse["T"], 4)
+    return out
+
+
+def bench_radar_cycle(config="configs/bda_1km_radar.toml", seed=0,
+                      member_batch=10, tile_rows=48,
+                      n_obs_target=1_000_000, overrides=None, members=None):
+    """ONE complete dense-radar DA cycle at reference size: the FULL 30-s
+    window (15 steps at dt=2 s — the reference's LCYCLE=30 s BDA regime,
+    config/BDA_d3_100m_256p_bf40) + 888k-obs obsope for all members +
+    1-km-localization LETKF, via the member-streamed executor."""
+    from scale_letkf_tpu.da.bigcycle import StreamedCycle, phase_table
+
+    cfg, grid, dycfg, dom = _load_cfg(config, overrides)
+    if members:
+        cfg.ensemble.member = members
+    K = cfg.ensemble.member
+    rng = np.random.default_rng(seed)
+    nsteps = int(round(30.0 / dycfg.dt))
+
+    t0 = time.time()
+    ens, rho_ref, p_ref = _synthetic_ens_dycore(rng, K + 1, grid, dom,
+                                                qr_blob=2.0e-3)
+    gen_s = time.time() - t0
+    driver = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref)
+    sc = StreamedCycle(driver, member_batch=member_batch,
+                       tile_rows=tile_rows)
+
+    import jax
+    truth = jax.tree.map(lambda a: a[:1], ens)
+    ens = jax.tree.map(lambda a: np.ascontiguousarray(a[1:]), ens)
+    obs = _synthetic_radar_volume(cfg, dom, rng, n_obs_target)
+    obs = _obs_from_truth(sc, truth, obs, nsteps, rng, radar=True, cfg=cfg)
+
+    ens_a, infl, report = sc.cycle(ens, obs, nsteps)
+    print(phase_table(report))
+    sg = report.pop("stats_gues")
+    sa = report.pop("stats_anal", None)
+    out = {
+        "config": config, "grid": f"{grid.nx}x{grid.ny}x{grid.nz}",
+        "members": K, "nobs": int(obs.nobs),
+        "nobs_good": int(sum(sg.nobs.values())),
+        "steps_run": nsteps, "window_steps": nsteps,
+        "s_per_member_step": round(report["fcst_s"] / (K * nsteps), 4),
+        "state_gen_s": round(gen_s, 1),
+        "peak_hbm_gb": _device_mem_gb(),
+        **{k: round(v, 2) for k, v in report.items()
+           if isinstance(v, (int, float))},
+    }
+    if sa is not None and sg.nobs.get("REF"):
+        out["omb_rmse_REF"] = round(sg.rmse["REF"], 3)
+        out["oma_rmse_REF"] = round(sa.rmse["REF"], 3)
+    return out
+
+
 if __name__ == "__main__":
     import sys
     import json
     which = sys.argv[1] if len(sys.argv) > 1 else "radar"
-    if which == "radar":
-        print(json.dumps(bench_radar_analysis()))
-    else:
-        print(json.dumps(bench_18km_analysis()))
+    fn = {"radar": bench_radar_analysis,
+          "18km": bench_18km_analysis,
+          "radar_cycle": bench_radar_cycle,
+          "18km_cycle": bench_18km_cycle}[which]
+    print(json.dumps(fn()))

@@ -1,0 +1,112 @@
+"""Member-streamed full-size cycle executor (da/bigcycle.py) equals the
+in-core CycleDriver path — the capability executor for reference-size
+domains (SURVEY §2.7 beyond-HBM; reference cycle.sh:141-345 runs the whole
+forecast+obsope+LETKF cycle at 480x360x36, K=50)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scale_letkf_tpu.config import Config, EnsembleConfig, LetkfConfig
+from scale_letkf_tpu.grid import Grid, Projection
+from scale_letkf_tpu.cycle import CycleDriver
+from scale_letkf_tpu.model.dycore import DycoreConfig, to_collocated
+from scale_letkf_tpu.model.ideal import (
+    balanced_state, add_warm_bubble, perturb_ensemble)
+from scale_letkf_tpu.da.obsmake import make_obs_network, obsmake
+from scale_letkf_tpu.da.bigcycle import StreamedCycle, phase_table
+from scale_letkf_tpu.state import state_trans, state_to_history
+
+
+def _setup(K=6, NZ=8, NY=16, NX=16, core="si"):
+    DZ, DX, DY = 400.0, 2000.0, 2000.0
+    grid = Grid.stretched(nx=NX, ny=NY, nz=NZ, dx=DX, dy=DY, dz0=DZ,
+                          stretch=1.05, proj=Projection(kind="LC"))
+    cfg = Config(ensemble=EnsembleConfig(member=K),
+                 letkf=LetkfConfig(infl_mul=1.1, relax_alpha=0.5))
+    cfg.letkf_obs.hori_local = tuple([8.0e3] + [-1.0] * 23)
+    dycfg = DycoreConfig(dx=DX, dy=DY, dz=DZ, dt=2.0, ztop=grid.ztop,
+                         sponge_height=0.8 * grid.ztop, sponge_tau=120.0)
+    qv = 0.008 * np.exp(-np.asarray(grid.cz) / 3000.0)
+    s0, rho_ref, p_ref = balanced_state(NZ, NY, NX, DZ, qv_prof=qv,
+                                        cz=grid.cz)
+    base = add_warm_bubble(s0, DZ, DX, DY, amplitude=2.0)
+    driver = CycleDriver(grid, cfg, dycfg, rho_ref, p_ref, core=core,
+                         n_small=4)
+    allp = perturb_ensemble(jax.random.PRNGKey(1), base, K + 1,
+                            amplitude=0.5)
+    truth = jax.tree.map(lambda a: a[0], allp)
+    ens = jax.tree.map(lambda a: a[1:], allp)
+    rng = np.random.default_rng(0)
+    template = make_obs_network(grid, rng, n_profiles=12,
+                                levels_hpa=(900.0, 750.0))
+    truth_f = driver.forecast_one(truth, 4)
+    nf = state_to_history(state_trans(to_collocated(truth_f)),
+                          driver.z_full, driver.topo)
+    obs = obsmake(nf, template, grid, cfg, driver.z_full, rng)
+    return grid, cfg, driver, ens, obs
+
+
+def test_streamed_cycle_matches_incore():
+    grid, cfg, driver, ens, obs = _setup()
+    nsteps = 4
+
+    # in-core reference path
+    ens_f = driver.forecast(ens, nsteps)
+    ens_a, info = driver.analysis(ens_f, obs)
+
+    # streamed path (uneven request 4 -> divisor batch of K=6)
+    ens_host = jax.tree.map(lambda a: np.asarray(a), ens)
+    sc = StreamedCycle(driver, member_batch=4, tile_rows=4)
+    out, infl, report = sc.cycle(ens_host, obs, nsteps)
+
+    assert report["batches"] == 2           # K=6, request 4 -> divisor 3
+    # gues equality is exact (same jitted forecast program); analysis
+    # equality is within the bf16 perturbation-transport tolerance of the
+    # tiled executor
+    for name in out._fields:
+        a_ref = np.asarray(getattr(ens_a, name))
+        a_str = getattr(out, name)
+        scale = max(np.abs(a_ref).max(), 1e-6)
+        np.testing.assert_allclose(a_str, a_ref, atol=3e-2 * scale,
+                                   rtol=3e-2,
+                                   err_msg=f"field {name} diverged")
+
+    # departure statistics present and sane; table formats
+    sg, sa = report["stats_gues"], report["stats_anal"]
+    assert sg.nobs["T"] > 0
+    assert sa.rmse["T"] <= sg.rmse["T"] * 1.05
+    tab = phase_table(report)
+    assert "DAS_LETKF" in tab and "TOTAL" in tab
+
+
+def test_streamed_forecast_matches_incore_exactly():
+    """The streamed forecast itself (before any bf16 analysis transport)
+    must match the in-core vmapped forecast to float32 roundoff."""
+    grid, cfg, driver, ens, obs = _setup(K=4, core="explicit")
+    ens_f = driver.forecast(ens, 3)
+    from scale_letkf_tpu.state import state_trans as st
+    gues_ref = np.asarray(st(jax.vmap(to_collocated)(ens_f)))
+
+    ens_host = jax.tree.map(lambda a: np.asarray(a), ens)
+    sc = StreamedCycle(driver, member_batch=2, tile_rows=4)
+    gues_host, ensval, qc, t = sc.forecast_and_hx(ens_host, 3, obs)
+    np.testing.assert_allclose(gues_host, gues_ref, rtol=2e-5, atol=2e-4)
+    assert ensval.shape == (4, obs.nobs)
+    assert t["batches"] == 2
+
+
+def test_streamed_rejects_physics_suite():
+    from scale_letkf_tpu.model.physics_suite import PhysicsConfig
+    DZ = 400.0
+    grid = Grid.uniform(nx=8, ny=8, nz=6, dx=2000.0, dy=2000.0, dz=DZ,
+                        proj=Projection(kind="LC"))
+    cfg = Config(ensemble=EnsembleConfig(member=2))
+    dycfg = DycoreConfig(dx=2000.0, dy=2000.0, dz=DZ, dt=2.0,
+                         ztop=6 * DZ)
+    s0, rho_ref, p_ref = balanced_state(6, 8, 8, DZ)
+    driver = CycleDriver(grid, cfg, dycfg, rho_ref, p_ref,
+                         phys_cfg=PhysicsConfig())
+    with pytest.raises(NotImplementedError, match="physics"):
+        StreamedCycle(driver)
