@@ -286,24 +286,36 @@ def main():
         return
 
     _note(f"budget {BUDGET_S:.0f}s")
+    try:
+        # persistent compilation cache: the big analysis/cycle programs are
+        # identical across bench runs — repeat runs skip their compiles
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache_scale_letkf")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     result = {}
 
     # CPU baselines don't touch the device — run them CONCURRENTLY with
     # the TPU phases as subprocesses, collect at the end.
+    # niced so they cannot starve the main process's XLA compiles
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     cpu_proc = subprocess.Popen(
-        [sys.executable, __file__, "--cpu-raw"], env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        ["nice", "-n", "10", sys.executable, __file__, "--cpu-raw"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True)
     cpu_cycle_proc = subprocess.Popen(
-        [sys.executable, __file__, "--cycle-cpu-raw"], env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        ["nice", "-n", "10", sys.executable, __file__, "--cycle-cpu-raw"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True)
 
     tpu_gps = None
     for attempt in range(2):
-        if _remaining() < 120:
+        if _remaining() < 150:
             break
         try:
-            _alarm(240)
+            _alarm(300)
             tpu_gps = bench_tpu()
             signal.alarm(0)
             result.pop("headline_error", None)   # a retry succeeded
@@ -313,7 +325,12 @@ def main():
             signal.alarm(0)
             result["headline_error"] = _err_str(e)
             _note(f"headline attempt {attempt} FAILED: {_err_str(e)}")
-            time.sleep(10.0)
+            if "FAILED_PRECONDITION" in str(e):
+                # the tunneled backend is poisoned for this process; it
+                # recovers in ~2-4 min but only a fresh process can use it
+                break
+            # transient wedge: the tunnel usually recovers within minutes
+            time.sleep(45.0)
 
     if tpu_gps is None:
         cpu_gps = _collect_subprocess(cpu_proc, 300, "headline", result,
@@ -325,7 +342,9 @@ def main():
             "unit": "gridpoints/s (platform=cpu FALLBACK - accelerator "
                     "unavailable)",
             "vs_baseline": 1.0, **result}))
-        return
+        # nonzero exit: the driver must RETRY (a fresh process sees the
+        # recovered tunnel) rather than record the CPU fallback as final
+        sys.exit(3)
 
     try:
         result["letkf_core_sweep_gridpoints_per_s"] = bench_sweep(

@@ -24,6 +24,21 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: the full-size programs are identical
+    across runs, so repeat benches skip their multi-minute compiles."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache_scale_letkf")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 def _device_mem_gb():
     import jax
     try:
@@ -276,7 +291,7 @@ def _synthetic_conv_network(cfg, grid, rng, n_sonde=700, n_ps=2000):
         rec_elem.append(ID_PS)
         rec_lon.append(lon2d[pj[p], pi[p]])
         rec_lat.append(lat2d[pj[p], pi[p]])
-        rec_lev.append(1000.0e2)
+        rec_lev.append(0.0)        # PS obs lev = station elevation [m]
         rec_err.append(e.ps)
     elem = np.asarray(rec_elem, np.int32)
     nobs = len(elem)

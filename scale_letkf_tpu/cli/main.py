@@ -244,6 +244,11 @@ def cmd_letkf(args):
                                   hist_slots=hist, slots=slots)
     print(info["stats_gues"].format("O-B"))
     print(info["stats_anal"].format("O-A"))
+    if cfg.monitor.departure_stat:
+        # per-report-type × variable tables (monit_obs_mpi,
+        # common_mpi_scale.f90:1481-1633)
+        print(info["stats_gues_bytype"].format("O-B"))
+        print(info["stats_anal_bytype"].format("O-A"))
     aux_out = {}
     if info["diag"].infl_field is not None:
         aux_out["infl"] = info["diag"].infl_field
@@ -502,6 +507,9 @@ def cmd_cycle(args):
         print(f"=== cycle {c} ===")
         print(info["stats_gues"].format("O-B"))
         print(info["stats_anal"].format("O-A"))
+        if cfg.monitor.departure_stat:
+            print(info["stats_gues_bytype"].format("O-B"))
+            print(info["stats_anal_bytype"].format("O-A"))
     aux_out = {"infl": infl} if infl is not None else {}
     if driver.tsfc is not None:
         aux_out["tsfc"] = np.asarray(driver.tsfc)

@@ -222,8 +222,41 @@ class CycleDriver:
                 s = kessler_step(s, dycfg.dt * rem, self.dz_col)
             return s
 
+        # explicit ppermute halo backend (DycoreConfig.halo; SURVEY §2.8
+        # item 4: COMM_vars8-equivalent exchange, optionally overlapped)
+        halo_mode = dycfg.halo
+        if halo_mode not in ("gspmd", "explicit", "explicit_overlap"):
+            raise ValueError(f"unknown halo backend {halo_mode!r}")
+        if halo_mode != "gspmd":
+            if core != "explicit" or self.metrics is not None:
+                raise NotImplementedError(
+                    "halo='explicit*' supports the explicit core without "
+                    "terrain metrics (SI/terrain use the GSPMD path)")
+            if use_physics or phys_cfg is not None:
+                raise NotImplementedError(
+                    "halo='explicit*' does not compose with physics yet")
+            if mesh is None:
+                raise ValueError("halo='explicit*' requires a device mesh")
+
+        def fcst_ens_halo(ens, nsteps, t0, bdy=None):
+            from scale_letkf_tpu.parallel.halo import rk3_step_halo_ens
+
+            def body(c, i):
+                c = rk3_step_halo_ens(
+                    c, dycfg, rho_ref, p_ref, self.z_centers, self.mesh,
+                    vg=self.vg, overlap=(halo_mode == "explicit_overlap"))
+                if self._bdy_w2d is not None and bdy is not None:
+                    t = t0 + (i.astype(jnp.float32) + 1.0) * jnp.float32(
+                        dycfg.dt)
+                    c = apply_bdy(c, t, bdy)   # broadcasts over members
+                return c, None
+            out, _ = jax.lax.scan(body, ens, jnp.arange(nsteps))
+            return out
+
         def fcst_ens(ens: DycoreState, nsteps: int, t0,
                      bdy=None) -> DycoreState:
+            if halo_mode != "gspmd":
+                return fcst_ens_halo(ens, nsteps, t0, bdy)
             if self.mesh is not None:
                 from scale_letkf_tpu.parallel.mesh import constrain_ensemble
                 ens = constrain_ensemble(self.mesh, ens)
@@ -439,6 +472,12 @@ class CycleDriver:
             y_a[m_h08] = np.abs(y_a[m_h08])   # drop the cloudy-sky sign flag
             oma = ctx.dat - y_a
             stats_anal = monit_dep(ctx.elem, oma, ctx.qc)
+            # per-report-type × variable breakdown (monit_obs_mpi parity,
+            # common_mpi_scale.f90:1481-1633)
+            from scale_letkf_tpu.da.monitor import monit_dep_bytype
+            stats_gues_t = monit_dep_bytype(ctx.elem, ctx.typ, ctx.dep,
+                                            ctx.qc)
+            stats_anal_t = monit_dep_bytype(ctx.elem, ctx.typ, oma, ctx.qc)
             obsdep = ObsDepRecord(
                 elem=ctx.elem, typ=ctx.typ, lon=obs.lon, lat=obs.lat,
                 lev=obs.lev, dat=ctx.dat, err=ctx.err, qc=ctx.qc,
@@ -446,7 +485,9 @@ class CycleDriver:
 
         return ens_out, {
             "gues": gues, "anal": anal, "stats_gues": stats_gues,
-            "stats_anal": stats_anal, "diag": diag, "obsdep": obsdep,
+            "stats_anal": stats_anal, "stats_gues_bytype": stats_gues_t,
+            "stats_anal_bytype": stats_anal_t,
+            "diag": diag, "obsdep": obsdep,
             "det": det_out,
         }
 

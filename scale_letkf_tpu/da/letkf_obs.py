@@ -350,19 +350,42 @@ def build_obs_context(
             vkind = "logp"
         cutoff = hs * DIST_ZERO_FAC
         max_nobs = lo.max_nobs_for(typ)
+        # sort-mesh cell size: the reference's automatic sizing from
+        # OBS_SORT_GRID_SPACING / MAX_NOBS_PER_GRID·OBS_MIN_SPACING
+        # (letkf_obs.f90:660-672). Finer cells than the cutoff widen the
+        # static search halo (nsch cells ≈ the reference's ngrdsch); the
+        # halo is clamped to ≤5 cells so the candidate width stays bounded.
+        sgs = lo.obs_sort_grid_spacing[typ]
+        if sgs < 0:
+            sgs = lo.obs_sort_grid_spacing[0]
+        oms = lo.obs_min_spacing[typ]
+        if oms <= 0:
+            oms = lo.obs_min_spacing[0]
+        if sgs > 0:
+            target = sgs
+        elif max_nobs > 0 and oms > 0:
+            target = 0.1 * np.sqrt(float(max_nobs)) * oms
+        else:
+            target = cutoff
+        spacing = float(np.clip(target, cutoff / 5.0, cutoff))
+        spacing = max(spacing, float(min(grid.dx, grid.dy)))
+        nsch = max(1, int(np.ceil(cutoff / spacing)))
         # capacity bound: config override, else 2× the per-gridpoint obs
-        # limit (the top-k then selects from ≥ 2L nearest-cell candidates),
+        # limit spread over the nsch² cells covering one cutoff radius
+        # (the (2nsch+1)²-cell gather then still holds ≥ 2πL in-cutoff
+        # candidates for the top-k while the table width stays bounded),
         # else unbounded (conventional densities never overflow)
         if lo.max_bucket_capacity > 0:
             cap_max = lo.max_bucket_capacity
         elif max_nobs > 0:
-            cap_max = 2 * max_nobs
+            cap_max = max(4, -(-2 * max_nobs // (nsch * nsch)))
         else:
             cap_max = 0
         buckets = build_buckets(x[idx], y[idx], -half_x, -half_y,
-                                half_x, half_y, cutoff,
+                                half_x, half_y, spacing,
                                 max_capacity=cap_max,
-                                index_map=idx.astype(np.int32))
+                                index_map=idx.astype(np.int32),
+                                nsch=nsch)
         ctx.ctypes.append(CtypeContext(
             elem=elem, typ=typ, hori_scale=hs, vert_scale=vs,
             vert_kind=vkind, max_nobs=lo.max_nobs_for(typ),

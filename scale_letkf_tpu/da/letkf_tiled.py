@@ -42,9 +42,17 @@ def analyze_tiled(
     infl_field: np.ndarray | None = None,
     tile_rows: int = 24,
     out: np.ndarray | None = None,
+    pipeline: bool = False,
 ) -> tuple[np.ndarray, np.ndarray | None, dict]:
     """Tiled analysis. Returns (anal (same shape/layout, float32),
-    infl_field or None, stats dict with compute_s/transfer_s/compile_s)."""
+    infl_field or None, stats dict with compute_s/transfer_s/compile_s).
+
+    pipeline=True double-buffers the stream: tile t+1's host prep + upload
+    are dispatched while tile t computes, so per-tile wall approaches
+    max(transfer, compute) instead of their sum. Phase attribution is then
+    impossible (the download wait covers whatever did not overlap), so
+    stats reports stream_s (steady pipelined wall) with compute_s aliased
+    to it and transfer_s = 0; use pipeline=False to measure components."""
     import jax
     import jax.numpy as jnp
     import ml_dtypes
@@ -113,7 +121,8 @@ def analyze_tiled(
 
     from scale_letkf_tpu.ops.obs_select import gather_candidates
 
-    for t in range(n_tiles):
+    def prep_upload(t):
+        """Host prep + (async) upload of tile t's arguments."""
         y0, y1 = t * tile_rows, (t + 1) * tile_rows
         th = time.time()
         slab = gues_host[:, :, :, y0:y1, :]               # (K,nv,nz,tr,nx)
@@ -141,17 +150,57 @@ def analyze_tiled(
                               (tile_rows, nx)).reshape(-1)
         dbdy = dist_bdy_full[y0:y1].reshape(-1)
         stats["host_s"] += time.time() - th
-
-        tt = time.time()
         gpx_d = jnp.asarray(gpx, f32)
         gpy_d = jnp.asarray(gpy, f32)
         cand = tuple(gather_candidates(ct.buckets, gpx_d, gpy_d)
                      for ct in ctx.ctypes)
-        args = (jnp.asarray(pert_zkvb), jnp.asarray(mean_zvb),
+        return (jnp.asarray(pert_zkvb), jnp.asarray(mean_zvb),
                 jnp.asarray(infl0), jnp.asarray(logp), jnp.asarray(z_t),
                 gpx_d, gpy_d, jnp.asarray(dbdy, f32), cand)
+
+    def download(t, anal_bf, infl_z):
+        y0, y1 = t * tile_rows, (t + 1) * tile_rows
+        anal_np = np.asarray(anal_bf).astype(np.float32)  # (K,nv,nz,Bt)
+        th = time.time()
+        anal_out[:, :, :, y0:y1, :] = anal_np.reshape(
+            K, nv, nz, tile_rows, nx)
+        if infl_out is not None:
+            infl_out[:, y0:y1, :] = np.asarray(infl_z).reshape(
+                nz, tile_rows, nx)
+        stats["host_s"] += time.time() - th
+
+    if pipeline:
+        stats["pipelined"] = True
+        stats["stream_s"] = 0.0
+        args = prep_upload(0)
+        for t in range(n_tiles):
+            tc = time.time()
+            anal_bf, infl_z, nobs_z = tile_jit(*args)   # async dispatch
+            if t + 1 < n_tiles:
+                # prefetch the next tile while this one computes: the
+                # upload DMA and the analysis kernels overlap, so steady
+                # per-tile wall ≈ max(transfer, compute)
+                args = prep_upload(t + 1)
+            download(t, anal_bf, infl_z)                # blocks
+            dt = time.time() - tc
+            if t == 0:
+                stats["compile_s"] = dt
+            else:
+                stats["stream_s"] += dt
+        if n_tiles > 1:
+            stats["stream_s"] *= n_tiles / (n_tiles - 1)
+        # alias for rate-computing callers: with overlap the stream wall is
+        # the honest (conservative) per-tile cost; components are not
+        # separable in this mode
+        stats["compute_s"] = stats["stream_s"]
+        return anal_out, infl_out, stats
+
+    for t in range(n_tiles):
+        tt = time.time()
+        h0 = stats["host_s"]
+        args = prep_upload(t)
         jax.block_until_ready(args[0])
-        stats["transfer_s"] += time.time() - tt
+        stats["transfer_s"] += time.time() - tt - (stats["host_s"] - h0)
 
         tc = time.time()
         anal_bf, infl_z, nobs_z = tile_jit(*args)
@@ -163,15 +212,9 @@ def analyze_tiled(
             stats["compute_s"] += dt
 
         tt = time.time()
-        anal_np = np.asarray(anal_bf).astype(np.float32)  # (K,nv,nz,Bt)
-        stats["transfer_s"] += time.time() - tt
-        th = time.time()
-        anal_out[:, :, :, y0:y1, :] = anal_np.reshape(
-            K, nv, nz, tile_rows, nx)
-        if infl_out is not None:
-            infl_out[:, y0:y1, :] = np.asarray(infl_z).reshape(
-                nz, tile_rows, nx)
-        stats["host_s"] += time.time() - th
+        h0 = stats["host_s"]
+        download(t, anal_bf, infl_z)
+        stats["transfer_s"] += time.time() - tt - (stats["host_s"] - h0)
 
     # steady-state rate excludes the compiled first tile
     if n_tiles > 1:

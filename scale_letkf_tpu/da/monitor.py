@@ -70,6 +70,49 @@ def monit_dep(elem: np.ndarray, dep: np.ndarray, qc: np.ndarray) -> DepartureSta
 
 
 @dataclass
+class TypedDepartureStats:
+    """Per-(report type × variable) departure statistics — the full
+    monit_obs_mpi breakdown (common_mpi_scale.f90:1481-1633 prints
+    bias/RMSE per report type for gues and anal; per-type tables also in
+    monit_print, common_obs_scale.f90:1899)."""
+    rows: "dict[str, DepartureStats]"      # report-type name → stats
+
+    def format(self, label: str = "") -> str:
+        lines = [f"== departure statistics by type {label} =="]
+        any_row = False
+        for tname, st in self.rows.items():
+            names = [n for n, _ in MONIT_GROUPS if st.nobs.get(n, 0) > 0]
+            if not names:
+                continue
+            any_row = True
+            lines.append(f"  -- {tname}")
+            lines.append("     " + "".join(f"{n:>12s}" for n in names))
+            lines.append("NOBS " + "".join(f"{st.nobs[n]:12d}"
+                                           for n in names))
+            lines.append("BIAS " + "".join(f"{st.bias[n]:12.4g}"
+                                           for n in names))
+            lines.append("RMSE " + "".join(f"{st.rmse[n]:12.4g}"
+                                           for n in names))
+        if not any_row:
+            return f"== departure statistics by type {label}: no obs =="
+        return "\n".join(lines)
+
+
+def monit_dep_bytype(elem: np.ndarray, typ: np.ndarray, dep: np.ndarray,
+                     qc: np.ndarray) -> TypedDepartureStats:
+    """Departure statistics broken down per report type × variable
+    (monit_obs_mpi parity)."""
+    from scale_letkf_tpu.obs.types import OBTYPE_NAMES
+    rows = {}
+    for t in sorted(set(np.asarray(typ).tolist())):
+        m = typ == t
+        name = (OBTYPE_NAMES[t] if 0 <= t < len(OBTYPE_NAMES)
+                else f"TYP{t}")
+        rows[name] = monit_dep(elem[m], dep[m], qc[m])
+    return TypedDepartureStats(rows=rows)
+
+
+@dataclass
 class ObsDepRecord:
     """obsdep output record set (write_obs_dep analogue,
     common_obs_scale.f90:2354): per-obs QC, O−B, O−A for offline scoring."""

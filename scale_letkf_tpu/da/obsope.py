@@ -75,29 +75,42 @@ def compute_hx_single(
     ri, rj = grid.lonlat_to_ij(lon, lat)
 
     radar = jnp.asarray(is_radar_elem(obs.elem))
+    # the radar branch is gated HOST-side (like H08 below): conventional
+    # workloads pay nothing for the radar operator, and on very large
+    # grids (the 480x360x36 18-km domain) fusing the unused radar
+    # interpolations into the conventional graph triggered a TPU kernel
+    # fault over the tunneled backend — each path compiles clean alone
+    has_radar = bool(np.any(is_radar_elem(obs.elem)))
+
     # vertical coordinate: z for radar obs, log-p for conventional
     rk_p, qc_p = op.phys2ijk(fields["p"], elem, ri, rj, lev)
-    rk_z, qc_z = op.phys2ijkz(z_full, ri, rj, lev)
-    rk = jnp.where(radar, rk_z, rk_p)
-    qc_vert = jnp.where(radar, qc_z, qc_p)
+    if has_radar:
+        rk_z, qc_z = op.phys2ijkz(z_full, ri, rj, lev)
+        rk = jnp.where(radar, rk_z, rk_p)
+        qc_vert = jnp.where(radar, qc_z, qc_p)
+    else:
+        rk, qc_vert = rk_p, qc_p
 
     y_conv, qc_conv = op.trans_xtoy_conv(
         elem, ri, rj, rk, lon, lat, fields, grid.proj.rotcoef,
         ps_adjust_thres=cfg.letkf.ps_adjust_thres)
-    y_rad, qc_rad = op.trans_xtoy_radar(
-        elem, ri, rj, rk, lon, lat, lev,
-        tuple(obs.meta), fields, grid.proj.rotcoef,
-        method=cfg.radar.method_ref_calc,
-        use_terminal_velocity=cfg.radar.use_terminal_velocity,
-        min_radar_ref=cfg.radar.min_radar_ref,
-        min_radar_ref_dbz=cfg.radar.min_radar_ref_dbz,
-        low_ref_shift=cfg.radar.low_ref_shift)
-
-    y = jnp.where(radar, y_rad, y_conv)
-    qc = jnp.where(radar, qc_rad, qc_conv).astype(jnp.int32)
+    y = y_conv
+    qc = qc_conv.astype(jnp.int32)
+    if has_radar:
+        y_rad, qc_rad = op.trans_xtoy_radar(
+            elem, ri, rj, rk, lon, lat, lev,
+            tuple(obs.meta), fields, grid.proj.rotcoef,
+            method=cfg.radar.method_ref_calc,
+            use_terminal_velocity=cfg.radar.use_terminal_velocity,
+            min_radar_ref=cfg.radar.min_radar_ref,
+            min_radar_ref_dbz=cfg.radar.min_radar_ref_dbz,
+            low_ref_shift=cfg.radar.low_ref_shift)
+        y = jnp.where(radar, y_rad, y_conv)
+        qc = jnp.where(radar, qc_rad, qc_conv).astype(jnp.int32)
     qc = jnp.maximum(qc, qc_vert)
-    # radar height limit (RADAR_ZMAX, common_nml.f90:278; QC radar_vhi)
-    qc = jnp.where(radar & (lev > cfg.radar.radar_zmax), 19, qc)
+    if has_radar:
+        # radar height limit (RADAR_ZMAX, common_nml.f90:278; QC radar_vhi)
+        qc = jnp.where(radar & (lev > cfg.radar.radar_zmax), 19, qc)
 
     # Himawari-8 IR radiances (Trans_XtoY_H08; channel stored in obs lev,
     # letkf_obs.f90:463-465) — gated host-side so non-H08 workloads pay

@@ -63,6 +63,12 @@ class DycoreConfig:
                                # rolls — measured fastest on v5e) |
                                # 'pallas' (ops/pallas_stencil.py fused UD3
                                # kernel; periodic + uniform dz only)
+    halo: str = "gspmd"        # multi-chip halo backend: 'gspmd' (sharded
+                               # rolls auto-lower to collective-permutes) |
+                               # 'explicit' (parallel/halo.py shard_map
+                               # ppermute, COMM_vars8-style batched) |
+                               # 'explicit_overlap' (+ interior compute
+                               # overlapped with the exchange)
 
 
 class DycoreState(NamedTuple):

@@ -79,6 +79,21 @@ SAT_ALT = 35786.0e3
 R_EARTH = 6371.0e3
 
 
+def load_calibration(path: str) -> None:
+    """Install fitted band coefficients (obs/h08_calibrate.py output).
+
+    Must be called BEFORE building/tracing any jitted operator that uses
+    this module (the coefficients are closed over as trace-time
+    constants); already-compiled functions keep the old values."""
+    import json
+    global K_WV, K_FIX, WV_P_EXP
+    with open(path) as f:
+        d = json.load(f)
+    K_WV = jnp.asarray(d["k_wv"])
+    K_FIX = jnp.asarray(d["k_fix"])
+    WV_P_EXP = float(d["wv_p_exp"])
+
+
 def planck_rad(t: jax.Array, wn: jax.Array) -> jax.Array:
     """Planck radiance at temperature t [K], wavenumber wn [cm^-1]."""
     return C1 * wn**3 / (jnp.exp(C2 * wn / t) - 1.0)

@@ -36,6 +36,12 @@ FVIRT_PRSADJ = 0.608  # virtual-T factor used by prsadj (common_obs_scale.f90:61
 # Interpolation primitives
 # ---------------------------------------------------------------------------
 
+# All interpolators gather through a FLATTENED trailing (ny*nx) axis with
+# a single fused index (j*nx+i) instead of multi-array advanced indexing:
+# the multi-dimensional gather form triggered a TPU kernel fault when
+# fused into larger H(x) graphs at full 18-km size (480x360x36), and the
+# flat form lowers to the simple 1-D gather the hardware handles well.
+
 def itpl_2d(field: jax.Array, ri: jax.Array, rj: jax.Array) -> jax.Array:
     """Bilinear interpolation of field (ny, nx) at fractional points.
 
@@ -46,10 +52,12 @@ def itpl_2d(field: jax.Array, ri: jax.Array, rj: jax.Array) -> jax.Array:
     j0 = jnp.clip(jnp.floor(rj).astype(jnp.int32), 0, ny - 2)
     ai = jnp.clip(ri - i0, 0.0, 1.0)
     aj = jnp.clip(rj - j0, 0.0, 1.0)
-    f00 = field[..., j0, i0]
-    f01 = field[..., j0, i0 + 1]
-    f10 = field[..., j0 + 1, i0]
-    f11 = field[..., j0 + 1, i0 + 1]
+    ff = field.reshape(field.shape[:-2] + (ny * nx,))
+    base = j0 * nx + i0
+    f00 = ff[..., base]
+    f01 = ff[..., base + 1]
+    f10 = ff[..., base + nx]
+    f11 = ff[..., base + nx + 1]
     return (f00 * (1 - ai) * (1 - aj) + f01 * ai * (1 - aj)
             + f10 * (1 - ai) * aj + f11 * ai * aj)
 
@@ -64,11 +72,14 @@ def itpl_3d(field: jax.Array, rk: jax.Array, ri: jax.Array,
     ak = jnp.clip(rk - k0, 0.0, 1.0)
     ai = jnp.clip(ri - i0, 0.0, 1.0)
     aj = jnp.clip(rj - j0, 0.0, 1.0)
+    ff = field.reshape(field.shape[:-3] + (nz * ny * nx,))
+    base = (k0 * ny + j0) * nx + i0
     out = 0.0
     for dk, wk in ((0, 1 - ak), (1, ak)):
         for dj, wj in ((0, 1 - aj), (1, aj)):
             for di, wi in ((0, 1 - ai), (1, ai)):
-                out = out + field[..., k0 + dk, j0 + dj, i0 + di] * wk * wj * wi
+                out = out + ff[..., base + (dk * ny + dj) * nx + di] \
+                    * wk * wj * wi
     return out
 
 
@@ -76,14 +87,20 @@ def itpl_2d_column(field3d: jax.Array, ri: jax.Array, rj: jax.Array) -> jax.Arra
     """Bilinear interpolation of each level of field3d (nz, ny, nx) at
     (ri, rj): returns (..., nz) profile (itpl_2d_column analogue)."""
     ny, nx = field3d.shape[-2:]
+    nz = field3d.shape[0]
     i0 = jnp.clip(jnp.floor(ri).astype(jnp.int32), 0, nx - 2)
     j0 = jnp.clip(jnp.floor(rj).astype(jnp.int32), 0, ny - 2)
     ai = (ri - i0)[..., None]
     aj = (rj - j0)[..., None]
-    c00 = jnp.moveaxis(field3d[:, j0, i0], 0, -1)
-    c01 = jnp.moveaxis(field3d[:, j0, i0 + 1], 0, -1)
-    c10 = jnp.moveaxis(field3d[:, j0 + 1, i0], 0, -1)
-    c11 = jnp.moveaxis(field3d[:, j0 + 1, i0 + 1], 0, -1)
+    ff = field3d.reshape(nz, ny * nx)
+    base = j0 * nx + i0
+
+    def col(off):
+        return jnp.moveaxis(ff[:, base + off], 0, -1)
+    c00 = col(0)
+    c01 = col(1)
+    c10 = col(nx)
+    c11 = col(nx + 1)
     return (c00 * (1 - ai) * (1 - aj) + c01 * ai * (1 - aj)
             + c10 * (1 - ai) * aj + c11 * ai * aj)
 

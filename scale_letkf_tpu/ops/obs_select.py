@@ -38,6 +38,10 @@ class BucketGrid:
     spacing_x: float
     spacing_y: float
     n_dropped: int         # obs dropped due to capacity overflow (0 normally)
+    nsch: int = 1          # search halo in cells: the candidate gather scans
+                           # (2·nsch+1)² cells so nsch·spacing must cover the
+                           # localization cutoff (the reference's ngrdsch,
+                           # letkf_obs.f90:676-677)
 
     @property
     def mesh_shape(self):
@@ -51,6 +55,7 @@ def build_buckets(
     min_capacity: int = 4,
     max_capacity: int = 0,
     index_map: np.ndarray | None = None,
+    nsch: int = 1,
 ) -> BucketGrid:
     """Host-side counting sort of obs into mesh cells
     (letkf_obs.f90:746-806 analogue). Capacity = max cell count (rounded up
@@ -123,7 +128,8 @@ def build_buckets(
         return BucketGrid(table=_remap(table.reshape(ny, nx, cap)),
                           x0=x0, y0=y0,
                           spacing_x=spacing, spacing_y=spacing,
-                          n_dropped=int(dropped) + n_prethinned)
+                          n_dropped=int(dropped) + n_prethinned,
+                          nsch=nsch)
 
     ci = np.clip(((x - x0) / spacing).astype(np.int64), 0, nx - 1)
     cj = np.clip(((y - y0) / spacing).astype(np.int64), 0, ny - 1)
@@ -146,24 +152,29 @@ def build_buckets(
     return BucketGrid(table=_remap(table.reshape(ny, nx, cap)),
                       x0=x0, y0=y0,
                       spacing_x=spacing, spacing_y=spacing,
-                      n_dropped=dropped + n_prethinned)
+                      n_dropped=dropped + n_prethinned,
+                      nsch=nsch)
 
 
 def gather_candidates(grid: BucketGrid, gx: jax.Array, gy: jax.Array) -> jax.Array:
-    """Candidate obs ids for each gridpoint from its 3×3 bucket neighborhood.
+    """Candidate obs ids for each gridpoint from its (2·nsch+1)² bucket
+    neighborhood (nsch=1 → the classic 3×3; finer sort meshes carry a wider
+    static halo, the reference's ngrdsch search rectangle,
+    letkf_obs.f90:676-677 + obs_local_range).
 
     gx, gy: (B,) gridpoint coordinates in the bucket coordinate system.
-    Returns (B, 9·cap) int32 with -1 padding.
+    Returns (B, (2·nsch+1)²·cap) int32 with -1 padding.
     """
     table = jnp.asarray(grid.table)
     ny, nx, cap = table.shape
+    n = grid.nsch
     ci = jnp.floor((gx - grid.x0) / grid.spacing_x).astype(jnp.int32)
     cj = jnp.floor((gy - grid.y0) / grid.spacing_y).astype(jnp.int32)
-    # static trim: a 1-cell axis makes the ±1 neighbors out of range for
-    # EVERY gridpoint — skip them so small domains (bucket spacing ≥ domain
-    # size) get candidate width cap, not 9·cap of -1 padding
-    djs = (0,) if ny == 1 else (-1, 0, 1)
-    dis = (0,) if nx == 1 else (-1, 0, 1)
+    # static trim: offsets that are out of range for EVERY gridpoint are
+    # skipped, so small domains (few cells per axis) keep a narrow
+    # candidate width instead of rows of -1 padding
+    djs = tuple(d for d in range(-n, n + 1) if -d < ny and d < ny)
+    dis = tuple(d for d in range(-n, n + 1) if -d < nx and d < nx)
     out = []
     for dj in djs:
         for di in dis:

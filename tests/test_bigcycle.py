@@ -97,6 +97,21 @@ def test_streamed_forecast_matches_incore_exactly():
     assert t["batches"] == 2
 
 
+def test_streamed_pipeline_matches_plain():
+    """Double-buffered member/tile streaming gives the identical cycle."""
+    grid, cfg, driver, ens, obs = _setup(K=4, core="explicit")
+    ens_host = jax.tree.map(lambda a: np.asarray(a), ens)
+    out0, _, _ = StreamedCycle(driver, member_batch=2, tile_rows=4).cycle(
+        jax.tree.map(np.copy, ens_host), obs, 3)
+    out1, _, rep = StreamedCycle(driver, member_batch=2, tile_rows=4,
+                                 pipeline=True).cycle(
+        jax.tree.map(np.copy, ens_host), obs, 3)
+    assert rep.get("pipelined")
+    for name in out0._fields:
+        np.testing.assert_array_equal(getattr(out1, name),
+                                      getattr(out0, name))
+
+
 def test_streamed_rejects_physics_suite():
     from scale_letkf_tpu.model.physics_suite import PhysicsConfig
     DZ = 400.0

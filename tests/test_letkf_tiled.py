@@ -26,6 +26,21 @@ def test_tiled_matches_incore():
                                rtol=2e-2)
 
 
+def test_tiled_pipeline_matches_plain():
+    """Double-buffered (pipeline=True) streaming returns the identical
+    analysis; stats report the non-separable stream wall instead."""
+    grid, gues, ctx, cfg, z_full = make_case(K=8, NZ=3, NY=12, NX=8,
+                                             nobs=30)
+    gues_np = np.asarray(gues, np.float32)
+    a_plain, _, st0 = analyze_tiled(gues_np, ctx, cfg, grid,
+                                    np.asarray(z_full), tile_rows=4)
+    a_pipe, _, st1 = analyze_tiled(gues_np, ctx, cfg, grid,
+                                   np.asarray(z_full), tile_rows=4,
+                                   pipeline=True)
+    np.testing.assert_array_equal(a_pipe, a_plain)
+    assert st1.get("pipelined") and "stream_s" in st1
+
+
 def test_tiled_deflation_matches_incore():
     """Configured deflation (0 < infl_mul < 1) must reach the tiled kernel
     as-is (regression: it used to be clamped to 1.0, silently diverging

@@ -95,3 +95,55 @@ def test_radar_density_bounded_context_and_analysis():
     assert np.isfinite(np.asarray(anal)).all()
     # per-gridpoint local obs counts respect the configured limit
     assert diag.nobs_per_level.max() <= 30 + 1e-6
+
+
+def _sparse_case(sort_spacing=None):
+    """Small conventional-density case where no capacity bound binds, so
+    coarse (nsch=1) and fine (nsch>1) sort meshes must select EXACTLY the
+    same local obs."""
+    from scale_letkf_tpu.obs.types import ID_T
+    NZ, NY, NX, K = 2, 16, 16, 4
+    grid = Grid.uniform(nx=NX, ny=NY, nz=NZ, dx=2000.0, dy=2000.0,
+                        dz=500.0, proj=Projection(kind="LC"))
+    rng = np.random.default_rng(3)
+    nobs = 300
+    ri = rng.uniform(1, NX - 2, nobs)
+    rj = rng.uniform(1, NY - 2, nobs)
+    lon, lat = grid.ij_to_lonlat(ri, rj)
+    obs = Observations(
+        elem=np.full(nobs, ID_T, np.int32),
+        lon=np.asarray(lon), lat=np.asarray(lat),
+        lev=np.full(nobs, 850e2),
+        dat=280.0 + rng.standard_normal(nobs),
+        err=np.full(nobs, 1.0),
+        typ=np.zeros(nobs, np.int32), dif=np.zeros(nobs))
+    cfg = Config(ensemble=EnsembleConfig(member=K),
+                 letkf=LetkfConfig(infl_mul=1.0))
+    cfg.letkf_obs.hori_local = tuple([6.0e3] + [-1.0] * 23)
+    if sort_spacing is not None:
+        cfg.letkf_obs.obs_sort_grid_spacing = tuple(
+            [sort_spacing] + [-1.0] * 23)
+    ensval = 280.0 + rng.standard_normal((K, nobs))
+    ctx = build_obs_context(obs, ensval, np.zeros(nobs, np.int32), cfg,
+                            grid)
+    gues = np.zeros((K, NV3D, NZ, NY, NX))
+    gues[:, IA_T] = 280.0 + rng.standard_normal((K, NZ, NY, NX))
+    gues[:, IA_P] = 850e2
+    z_full = grid.calc_z(jnp.zeros((NY, NX)))
+    anal, _, diag = analyze(jnp.asarray(gues), ctx, cfg, grid, z_full)
+    return ctx, np.asarray(anal), diag
+
+
+def test_fine_sort_mesh_matches_coarse():
+    """OBS_SORT_GRID_SPACING below the cutoff widens the search halo
+    (nsch>1) but must reproduce the coarse-mesh analysis exactly (same
+    obs within the cutoff disc — letkf_obs.f90:660-695 mesh sizing)."""
+    ctx_c, anal_c, diag_c = _sparse_case()                 # spacing=cutoff
+    ctx_f, anal_f, diag_f = _sparse_case(sort_spacing=5.0e3)
+    assert ctx_c.ctypes[0].buckets.nsch == 1
+    assert ctx_f.ctypes[0].buckets.nsch > 1
+    assert ctx_f.ctypes[0].buckets.mesh_shape > ctx_c.ctypes[0].buckets.\
+        mesh_shape
+    np.testing.assert_array_equal(diag_f.nobs_per_level,
+                                  diag_c.nobs_per_level)
+    np.testing.assert_allclose(anal_f, anal_c, rtol=1e-6, atol=1e-6)

@@ -62,6 +62,82 @@ def test_superob_separates_variables():
     assert (out.elem == ID_RADAR_VR).sum() == 3
 
 
+def test_general_removal():
+    from scale_letkf_tpu.obs.superob import general_removal
+    grid = Grid.uniform(nx=16, ny=16, nz=10, dx=2e3, dy=2e3, dz=500.0)
+    obs = make_dense_radar(grid)
+    obs2 = obs.select(slice(None))
+    obs2.elem[:] = ID_RADAR_VR
+    both = Observations.concatenate([obs, obs2])
+    out = general_removal(both, [(TYP_PHARAD, ID_RADAR_VR)])
+    assert out.nobs == obs.nobs
+    assert (out.elem == ID_RADAR_REF).all()
+    # wildcard drops the whole report type
+    out2 = general_removal(both, [(TYP_PHARAD, -1)])
+    assert out2.nobs == 0
+
+
+def test_superob_vertical_collapses_columns():
+    """A multi-level platform column (same horizontal position) collapses
+    into box_z vertical bins; distinct platforms stay separate."""
+    from scale_letkf_tpu.obs.superob import superob_vertical
+    n_lev = 12
+    recs = []
+    for plon in (135.0, 136.0):
+        for k in range(n_lev):
+            recs.append((plon, 35.0, 200.0 + 250.0 * k, 20.0 + k))
+    n = len(recs)
+    obs = Observations(
+        elem=np.full(n, ID_RADAR_REF, np.int32),
+        lon=np.asarray([r[0] for r in recs]),
+        lat=np.asarray([r[1] for r in recs]),
+        lev=np.asarray([r[2] for r in recs]),
+        dat=np.asarray([r[3] for r in recs]),
+        err=np.full(n, 5.0),
+        typ=np.full(n, TYP_PHARAD, np.int32), dif=np.zeros(n))
+    out = superob_vertical(obs, box_z=1000.0)
+    # 12 levels over 200..2950 m → 3 boxes (0-1km, 1-2km, 2-3km) per platform
+    assert out.nobs == 6
+    # averaged value of the first box ≈ mean of its member levels
+    first = out.dat[np.argsort(out.lev)][0]
+    assert 20.0 <= first <= 23.5
+    assert (out.err < 5.0).all()
+
+
+def test_superob_temporal_windows():
+    """Repeated reports of one place/level within a time box average into
+    one; reports in different boxes stay separate."""
+    from scale_letkf_tpu.obs.superob import superob_temporal
+    n_rep = 10
+    difs = np.concatenate([np.linspace(0, 25, n_rep),        # box 0
+                           np.linspace(35, 55, n_rep)])      # box 1
+    n = len(difs)
+    obs = Observations(
+        elem=np.full(n, ID_RADAR_REF, np.int32),
+        lon=np.full(n, 135.0), lat=np.full(n, 35.0),
+        lev=np.full(n, 2000.0),
+        dat=np.concatenate([np.full(n_rep, 30.0), np.full(n_rep, 40.0)]),
+        err=np.full(n, 5.0),
+        typ=np.full(n, TYP_PHARAD, np.int32), dif=difs)
+    out = superob_temporal(obs, box_t=30.0)
+    assert out.nobs == 2
+    np.testing.assert_allclose(np.sort(out.dat), [30.0, 40.0])
+
+
+def test_superob_pipeline_order():
+    """The chained pipeline applies removal → vertical → grid."""
+    from scale_letkf_tpu.obs.superob import superob
+    grid = Grid.uniform(nx=16, ny=16, nz=10, dx=2e3, dy=2e3, dz=500.0)
+    obs = make_dense_radar(grid)
+    obs2 = obs.select(slice(None))
+    obs2.elem[:] = ID_RADAR_VR
+    both = Observations.concatenate([obs, obs2])
+    out = superob(both, grid, drop=[(TYP_PHARAD, ID_RADAR_VR)],
+                  box_xy=2e3, box_z=500.0)
+    assert out.nobs == 3
+    assert (out.elem == ID_RADAR_REF).all()
+
+
 def test_jacobi_backend_in_letkf_core():
     rng = np.random.default_rng(0)
     B, L, K = 8, 20, 8
