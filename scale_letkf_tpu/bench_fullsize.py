@@ -374,7 +374,7 @@ def _obs_from_truth(sc, truth_1, obs, nsteps, rng, radar=False, cfg=None):
 
 
 def bench_18km_cycle(config="configs/18km_japan.toml", nsteps=10, seed=0,
-                     member_batch=5, tile_rows=20, overrides=None,
+                     member_batch=2, tile_rows=20, overrides=None,
                      n_sonde=700, n_ps=2000, members=None):
     """ONE complete 18-km DA cycle at reference size — ensemble forecast +
     full-size obsope + LETKF — via the member-streamed executor

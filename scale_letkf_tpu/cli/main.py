@@ -427,6 +427,7 @@ def cmd_fcst(args):
 
 
 def cmd_cycle(args):
+    import jax
     import jax.numpy as jnp
     from scale_letkf_tpu.io.checkpoint import load_ensemble, save_ensemble
     from scale_letkf_tpu.model.dycore import DycoreState
@@ -467,6 +468,34 @@ def cmd_cycle(args):
         c_ens, c_aux, _ = load_ensemble(args.nest_init)
         c_ens = DycoreState(*(jnp.asarray(a) for a in c_ens))
         c_infl = c_aux.get("infl")
+
+    # beyond-HBM member-streamed executor (da/bigcycle.py): full-size
+    # domains where the in-core K-member state does not fit one chip
+    if args.streamed:
+        if nested is not None or det is not None or addi is not None \
+                or slot_steps is not None:
+            sys.exit("error: --streamed does not combine with [nest], "
+                     "DET_RUN, additive inflation, or 4-D slots yet")
+        from scale_letkf_tpu.da.bigcycle import StreamedCycle, phase_table
+        sc = StreamedCycle(driver, member_batch=args.member_batch,
+                           tile_rows=args.tile_rows,
+                           pipeline=args.pipeline)
+        ens_host = jax.tree.map(np.asarray, ens)
+        for c in range(args.cycles):
+            obs = read_obs_files(cfg, [args.obs_pattern.format(cycle=c)])
+            ens_host, infl, rep = sc.cycle(ens_host, obs,
+                                           args.steps_per_cycle,
+                                           infl_field=infl)
+            print(f"=== cycle {c} ===")
+            print(rep["stats_gues"].format("O-B"))
+            if "stats_anal" in rep:
+                print(rep["stats_anal"].format("O-A"))
+            print(phase_table(rep))
+        aux_out = {"infl": infl} if infl is not None else {}
+        save_ensemble(args.out, ens_host, basename="anal.@@@@",
+                      aux=aux_out, meta={"cycles": args.cycles,
+                                         "streamed": True})
+        return
 
     for c in range(args.cycles):
         if nested is not None:
@@ -604,6 +633,16 @@ def main(argv=None):
                    help="child-domain initial ensemble dir ([nest] configs)")
     q.add_argument("--nest-obs-pattern", default=None,
                    help="per-cycle child-domain obs path ([nest] configs)")
+    q.add_argument("--streamed", action="store_true",
+                   help="member-streamed beyond-HBM executor "
+                        "(da/bigcycle.py) for reference-size domains")
+    q.add_argument("--member-batch", type=int, default=5,
+                   help="members per streamed device batch (--streamed)")
+    q.add_argument("--tile-rows", type=int, default=24,
+                   help="analysis row-tile height (--streamed)")
+    q.add_argument("--pipeline", action="store_true",
+                   help="double-buffer the streams (--streamed; faster "
+                        "wall-clock, approximate phase attribution)")
     q.set_defaults(fn=cmd_cycle)
 
     args = p.parse_args(argv)

@@ -133,3 +133,48 @@ def test_cli_full_workflow(tmp_path):
             "--vars", "T,U", "--out", str(tmp_path / "sim.grd"), cwd=env_cwd)
     sim = np.fromfile(tmp_path / "sim.grd", np.float32)
     assert len(sim) == 2 * nz * ny * nx
+
+
+@pytest.mark.slow
+def test_cli_streamed_cycle(tmp_path):
+    """`cycle --streamed` drives the beyond-HBM member-streamed executor
+    (da/bigcycle.py) through the CLI."""
+    from scale_letkf_tpu.model.ideal import (
+        balanced_state, add_warm_bubble, perturb_ensemble)
+    from scale_letkf_tpu.io.checkpoint import save_ensemble, save_member
+    from scale_letkf_tpu.da.obsmake import make_obs_network
+    from scale_letkf_tpu.obs import io as obsio
+    from scale_letkf_tpu.grid import Grid, Projection
+
+    cfg_path = tmp_path / "exp.toml"
+    cfg_path.write_text(CONFIG)
+    nz, ny, nx, dz = 8, 12, 12, 500.0
+    qv = 0.008 * np.exp(-(np.arange(nz) + 0.5) * dz / 3000.0)
+    s0, _, _ = balanced_state(nz, ny, nx, dz, qv_prof=qv)
+    base = add_warm_bubble(s0, dz, 2000.0, 2000.0, amplitude=3.0,
+                           center=(12e3, 12e3, 1.5e3))
+    allp = perturb_ensemble(jax.random.PRNGKey(0), base, 5, amplitude=0.5)
+    nature = jax.tree.map(lambda a: a[0], allp)
+    ens = jax.tree.map(lambda a: a[1:], allp)
+    save_ensemble(tmp_path / "init", ens, basename="anal.@@@@")
+    save_member(tmp_path / "nature.npz", nature)
+    grid = Grid.uniform(nx=nx, ny=ny, nz=nz, dx=2000.0, dy=2000.0, dz=dz,
+                        proj=Projection())
+    rng = np.random.default_rng(0)
+    template = make_obs_network(grid, rng, n_profiles=15,
+                                levels_hpa=(900.0, 800.0))
+    obsio.write_obs(str(tmp_path / "template.dat"), template)
+    run_cli("obsmake", "--config", str(cfg_path),
+            "--nature", str(tmp_path / "nature.npz"),
+            "--obs-template", str(tmp_path / "template.dat"),
+            "--out", str(tmp_path / "obs0.dat"))
+    out = run_cli("cycle", "--config", str(cfg_path),
+                  "--init", str(tmp_path / "init"), "--cycles", "1",
+                  "--steps-per-cycle", "5",
+                  "--obs-pattern", str(tmp_path / "obs{cycle}.dat"),
+                  "--out", str(tmp_path / "sanal"),
+                  "--streamed", "--member-batch", "2", "--tile-rows", "4")
+    assert "cycle phase timers" in out and "DAS_LETKF" in out
+    assert (tmp_path / "sanal" / "anal.0001.npz").exists()
+    a = np.load(tmp_path / "sanal" / "anal.0001.npz")
+    assert np.isfinite(a["rhot"]).all()
