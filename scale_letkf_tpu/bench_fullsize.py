@@ -395,7 +395,7 @@ def bench_18km_cycle(config="configs/18km_japan.toml", nsteps=10, seed=0,
     gen_s = time.time() - t0
     driver = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref)
     sc = StreamedCycle(driver, member_batch=member_batch,
-                       tile_rows=tile_rows)
+                       tile_rows=tile_rows, pipeline=True, verbose=True)
 
     import jax
     truth = jax.tree.map(lambda a: a[:1], ens)
@@ -451,7 +451,7 @@ def bench_radar_cycle(config="configs/bda_1km_radar.toml", seed=0,
     gen_s = time.time() - t0
     driver = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref)
     sc = StreamedCycle(driver, member_batch=member_batch,
-                       tile_rows=tile_rows)
+                       tile_rows=tile_rows, verbose=True)
 
     import jax
     truth = jax.tree.map(lambda a: a[:1], ens)

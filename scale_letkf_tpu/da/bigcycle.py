@@ -41,6 +41,12 @@ def _batch_of(K: int, requested: int) -> int:
     return b
 
 
+def _log(msg):
+    import sys
+    print(f"[bigcycle +{time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
 class StreamedCycle:
     """Full-size cycle executor: member-streamed forecast + obsope,
     host-streamed tiled analysis.
@@ -59,7 +65,7 @@ class StreamedCycle:
     """
 
     def __init__(self, driver, member_batch: int = 5, tile_rows: int = 24,
-                 pipeline: bool = False):
+                 pipeline: bool = False, verbose: bool = False):
         """pipeline=True double-buffers both streams (next member-batch
         upload overlaps the current forecast; next analysis tile overlaps
         the current tile) — faster wall-clock, but the per-phase timer
@@ -79,6 +85,7 @@ class StreamedCycle:
         self.member_batch = member_batch
         self.tile_rows = tile_rows
         self.pipeline = pipeline
+        self.verbose = verbose
         self._jit_cache = {}
         self._last_obs = None
 
@@ -176,6 +183,8 @@ class StreamedCycle:
                     t["fcst_compile_s"] = dt
                 else:
                     t["fcst_s"] += dt      # = steady pipelined batch wall
+                if self.verbose:
+                    _log(f"fcst+hx batch {i0 // b + 1}/{K // b} done")
             if K > b:
                 t["fcst_s"] *= K / (K - b)
             return gues_host, ensval, qc_worst, t
@@ -205,6 +214,8 @@ class StreamedCycle:
             ensval[i0:i0 + b] = np.asarray(y_b)
             qc_worst = np.maximum(qc_worst, np.asarray(qc_b))
             t["download_s"] += time.time() - tt
+            if self.verbose:
+                _log(f"fcst+hx batch {i0 // b + 1}/{K // b} done")
         # steady-state forecast rate excludes the compiled first batch
         if K > b:
             t["fcst_s"] *= K / (K - b)
@@ -224,6 +235,8 @@ class StreamedCycle:
         ctx = build_obs_context(obs, ensval, qc_worst, d.cfg, d.grid)
         t["process_obs_s"] = time.time() - tt
 
+        if self.verbose:
+            _log(f"analysis: {ctx.nobs} obs, starting tiled letkf")
         tt = time.time()
         anal, infl, stats = analyze_tiled(
             gues_host, ctx, d.cfg, d.grid, np.asarray(d.z_full),
@@ -266,6 +279,8 @@ class StreamedCycle:
                 getattr(out, name)[i0:i0 + b] = np.asarray(
                     getattr(s_b, name))
             t["trans_inv_s"] += time.time() - tt
+            if self.verbose:
+                _log(f"trans_inv batch {i0 // b + 1}/{K // b} done")
         return out, t
 
     def cycle(self, ens_host, obs: Observations, nsteps: int,

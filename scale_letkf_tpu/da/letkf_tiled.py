@@ -108,7 +108,12 @@ def analyze_tiled(
         anal, infl_z, nobs_z, _det, _rtps = fn(
             pert, mean_f, infl0, logp, z_t, gpx, gpy, dbdy, cand,
             *obs_dev, None, None, None, None)
-        return anal.astype(jnp.bfloat16), infl_z, nobs_z
+        # bf16 rides ONLY on perturbations both ways: casting the full
+        # members would quantize T≈280 K at ~1 K — larger than typical
+        # increments; the f32 mean is small next to the (K,...) block
+        anal_mean = jnp.mean(anal, axis=0)
+        anal_pert = (anal - anal_mean[None]).astype(jnp.bfloat16)
+        return anal_mean, anal_pert, infl_z, nobs_z
 
     tile_jit = jax.jit(tile_step)
 
@@ -158,12 +163,13 @@ def analyze_tiled(
                 jnp.asarray(infl0), jnp.asarray(logp), jnp.asarray(z_t),
                 gpx_d, gpy_d, jnp.asarray(dbdy, f32), cand)
 
-    def download(t, anal_bf, infl_z):
+    def download(t, anal_mean, anal_pert, infl_z):
         y0, y1 = t * tile_rows, (t + 1) * tile_rows
-        anal_np = np.asarray(anal_bf).astype(np.float32)  # (K,nv,nz,Bt)
+        mean_np = np.asarray(anal_mean)                   # (nv,nz,Bt) f32
+        pert_np = np.asarray(anal_pert).astype(np.float32)
         th = time.time()
-        anal_out[:, :, :, y0:y1, :] = anal_np.reshape(
-            K, nv, nz, tile_rows, nx)
+        anal_out[:, :, :, y0:y1, :] = (
+            mean_np[None] + pert_np).reshape(K, nv, nz, tile_rows, nx)
         if infl_out is not None:
             infl_out[:, y0:y1, :] = np.asarray(infl_z).reshape(
                 nz, tile_rows, nx)
@@ -175,13 +181,13 @@ def analyze_tiled(
         args = prep_upload(0)
         for t in range(n_tiles):
             tc = time.time()
-            anal_bf, infl_z, nobs_z = tile_jit(*args)   # async dispatch
+            anal_mean, anal_pert, infl_z, nobs_z = tile_jit(*args)
             if t + 1 < n_tiles:
                 # prefetch the next tile while this one computes: the
                 # upload DMA and the analysis kernels overlap, so steady
                 # per-tile wall ≈ max(transfer, compute)
                 args = prep_upload(t + 1)
-            download(t, anal_bf, infl_z)                # blocks
+            download(t, anal_mean, anal_pert, infl_z)   # blocks
             dt = time.time() - tc
             if t == 0:
                 stats["compile_s"] = dt
@@ -203,8 +209,8 @@ def analyze_tiled(
         stats["transfer_s"] += time.time() - tt - (stats["host_s"] - h0)
 
         tc = time.time()
-        anal_bf, infl_z, nobs_z = tile_jit(*args)
-        jax.block_until_ready(anal_bf)
+        anal_mean, anal_pert, infl_z, nobs_z = tile_jit(*args)
+        jax.block_until_ready(anal_pert)
         dt = time.time() - tc
         if t == 0:
             stats["compile_s"] = dt   # first tile pays the compile
@@ -213,7 +219,7 @@ def analyze_tiled(
 
         tt = time.time()
         h0 = stats["host_s"]
-        download(t, anal_bf, infl_z)
+        download(t, anal_mean, anal_pert, infl_z)
         stats["transfer_s"] += time.time() - tt - (stats["host_s"] - h0)
 
     # steady-state rate excludes the compiled first tile
