@@ -130,11 +130,18 @@ def bench_tpu(B=10_000, L=30, K=8, n_lo=8, n_hi=208, reps=4,
 
 def _transform_flops(K, L, impl):
     """Per-gridpoint FLOP model of letkf_core: gram (2LK²) + solver +
-    weight products (~4K² L-ish terms are minor; counted coarsely)."""
+    weight products (~4K² L-ish terms are minor; counted coarsely).
+    MFU here counts USEFUL algorithm flops (un-padded K, one flop per
+    nominal multiply-add pair) against the bf16 peak — precision-emulation
+    passes and pad-to-64 overhead count as lost utilization."""
     gram = 2 * L * K * K
     apply_ = 4 * K * K + 2 * L * K
     if impl == "ns":
         solver = 22 * 3 * 2 * K ** 3 + 2 * 2 * K ** 3
+    elif impl == "ns_pallas":
+        # fused kernel: 18 bf16x3 + 2 HIGHEST polish iterations (3 matmuls
+        # each) + re-anchor + final inverse
+        solver = (20 * 3 + 2) * 2 * K ** 3
     elif impl == "jacobi":
         solver = 8 * (K - 1) * 6 * K * K       # rowcol sweeps
     else:
@@ -150,8 +157,8 @@ def bench_sweep(headline_gps=None, L=30):
     v5e bf16 peak. K=8/jacobi reuses the headline measurement (identical
     configuration) instead of re-timing it."""
     plan = [  # (K, impl, B, n_lo, n_hi, est_seconds)
-        (50, "ns", 4096, 4, 24, 150),
-        (100, "ns", 2048, 4, 16, 150),
+        (50, "ns_pallas", 4096, 4, 24, 150),
+        (100, "ns_pallas", 2048, 4, 16, 150),
         (1024, "ns", 32, 1, 3, 180),
     ]
     out = {}

@@ -307,7 +307,12 @@ class StreamedCycle:
             tt = time.time()
             _, mean_hx_jit, _ = self._programs(obs)
             y_a = np.asarray(mean_hx_jit(
-                jnp.asarray(anal.mean(axis=0, dtype=np.float32))))
+                jnp.asarray(anal.mean(axis=0, dtype=np.float32)))).copy()
+            # drop the H08 cloudy-sky sign flag before forming O-A (the
+            # in-core driver does the same, cycle.py analysis monitor)
+            from scale_letkf_tpu.obs.types import ID_H08IR
+            m_h08 = ctx.elem == ID_H08IR
+            y_a[m_h08] = np.abs(y_a[m_h08])
             oma = ctx.dat - y_a
             report["stats_anal"] = monit_dep(ctx.elem, oma, ctx.qc)
             report["monitor_s"] = time.time() - tt
@@ -319,22 +324,31 @@ class StreamedCycle:
 
 
 def phase_table(report: dict) -> str:
-    """Reference-style phase timer table (letkf.f90:90-255)."""
-    rows = [("READ_GUES (upload)", report.get("upload_s")),
-            ("ENS_FORECAST", report.get("fcst_s")),
-            ("  fcst compile", report.get("fcst_compile_s")),
-            ("OBS_OPERATOR", report.get("obsope_s")),
-            ("GUES download", report.get("download_s")),
-            ("PROCESS_OBS", report.get("process_obs_s")),
-            ("DAS_LETKF", report.get("das_letkf_s")),
-            ("  letkf compute", report.get("letkf_compute_s")),
-            ("  letkf transfer", report.get("letkf_transfer_s")),
-            ("  letkf compile", report.get("letkf_compile_s")),
-            ("MONITOR (O-A)", report.get("monitor_s")),
-            ("WRITE_ANAL (inv)", report.get("trans_inv_s")),
-            ("TOTAL", report.get("total_s"))]
+    """Reference-style phase timer table (letkf.f90:90-255).
+
+    Rows marked (est) are steady-state extrapolations: the compiled first
+    batch/tile is imputed by K/(K-b), so they may exceed measured wall and
+    the column does not sum to TOTAL (which is measured)."""
+    # fcst_s is extrapolated whenever the stream had >1 batch; the tiled
+    # letkf stream_s likewise (letkf_tiled.py pipeline mode)
+    fcst_est = report.get("batches", 1) > 1
+    letkf_est = bool(report.get("letkf_pipelined"))
+    rows = [("READ_GUES (upload)", report.get("upload_s"), False),
+            ("ENS_FORECAST", report.get("fcst_s"), fcst_est),
+            ("  fcst compile", report.get("fcst_compile_s"), False),
+            ("OBS_OPERATOR", report.get("obsope_s"), False),
+            ("GUES download", report.get("download_s"), False),
+            ("PROCESS_OBS", report.get("process_obs_s"), False),
+            ("DAS_LETKF", report.get("das_letkf_s"), False),
+            ("  letkf compute", report.get("letkf_compute_s"), letkf_est),
+            ("  letkf transfer", report.get("letkf_transfer_s"), False),
+            ("  letkf compile", report.get("letkf_compile_s"), False),
+            ("MONITOR (O-A)", report.get("monitor_s"), False),
+            ("WRITE_ANAL (inv)", report.get("trans_inv_s"), False),
+            ("TOTAL", report.get("total_s"), False)]
     lines = ["== cycle phase timers =="]
-    for name, v in rows:
+    for name, v, est in rows:
         if v is not None:
-            lines.append(f"  {name:22s} {v:10.2f} s")
+            tag = " (est)" if est else ""
+            lines.append(f"  {name + tag:28s} {v:10.2f} s")
     return "\n".join(lines)

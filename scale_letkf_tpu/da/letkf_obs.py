@@ -378,7 +378,11 @@ def build_obs_context(
         if lo.max_bucket_capacity > 0:
             cap_max = lo.max_bucket_capacity
         elif max_nobs > 0:
-            cap_max = max(4, -(-2 * max_nobs // (nsch * nsch)))
+            # floored at a typical report-column depth: vertically stacked
+            # reports (multi-level sondes, radar gate columns sharing one
+            # x,y) concentrate in a single fine cell, so the uniform-density
+            # 2·max_nobs/nsch² estimate would overflow and silently drop
+            cap_max = max(4, 64, -(-2 * max_nobs // (nsch * nsch)))
         else:
             cap_max = 0
         buckets = build_buckets(x[idx], y[idx], -half_x, -half_y,
@@ -386,6 +390,17 @@ def build_obs_context(
                                 max_capacity=cap_max,
                                 index_map=idx.astype(np.int32),
                                 nsch=nsch)
+        if buckets.n_dropped > 0 and max_nobs <= 0:
+            # with a top-k obs limit, stratified capacity thinning is the
+            # documented density approximation; without one, any drop is a
+            # real (previously silent) loss — typically vertically stacked
+            # reports concentrating in a single fine cell
+            import warnings
+            warnings.warn(
+                f"obs bucket capacity overflow for ctype (elem={elem}, "
+                f"typ={typ}): {buckets.n_dropped} obs dropped (cell cap "
+                f"{cap_max}); raise letkf_obs.max_bucket_capacity if these "
+                f"are vertically stacked reports", stacklevel=2)
         ctx.ctypes.append(CtypeContext(
             elem=elem, typ=typ, hori_scale=hs, vert_scale=vs,
             vert_kind=vkind, max_nobs=lo.max_nobs_for(typ),

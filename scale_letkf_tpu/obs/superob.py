@@ -93,15 +93,25 @@ def superob_vertical(obs: Observations, box_z: float,
 
 
 def superob_temporal(obs: Observations, box_t: float,
-                     min_count: int = 1) -> Observations:
+                     min_count: int = 1,
+                     box_z_key: float = 0.0) -> Observations:
     """Stage 3: temporal superobbing — average repeated reports of one
     (variable, type, position, level) within time boxes of box_t seconds
-    over the obs time offset dif (superob.f90 "temporal superob")."""
+    over the obs time offset dif (superob.f90 "temporal superob").
+
+    box_z_key > 0 groups levels by vertical box index floor(lev/box_z_key)
+    instead of bit-exact lev: after a preceding vertical-superob stage, lev
+    holds data-dependent box MEANS that rarely bit-match across time
+    windows, which would silently degrade the temporal merge to a no-op."""
     gt = np.floor(obs.dif / box_t).astype(np.int64)
+    if box_z_key > 0:
+        gl = np.floor(obs.lev / box_z_key).astype(np.int64)
+    else:
+        gl = np.asarray(obs.lev, np.float64).view(np.int64)
     key = np.stack([obs.elem.astype(np.int64), obs.typ.astype(np.int64),
                     np.asarray(obs.lon, np.float64).view(np.int64),
                     np.asarray(obs.lat, np.float64).view(np.int64),
-                    np.asarray(obs.lev, np.float64).view(np.int64), gt], axis=1)
+                    gl, gt], axis=1)
     return _group_average(obs, key, min_count)
 
 
@@ -132,16 +142,26 @@ def superob(obs: Observations, grid: Grid,
             box_z_vertical: float = 0.0,
             box_t: float = 0.0,
             box_xy: float = 0.0, box_z: float = 0.0,
-            min_count: int = 1) -> Observations:
+            min_count: int = 1,
+            min_count_vertical: int = 1,
+            min_count_temporal: int = 1) -> Observations:
     """The reference pipeline in order (superob.f90:1-14): general removal
     → vertical → temporal → grid. Stages with a non-positive box are
-    skipped."""
+    skipped.
+
+    min_count applies to the GRID (radar-box) stage; the vertical and
+    temporal stages take their own thresholds (default 1) so a radar-box
+    threshold does not prune singleton reports in the earlier stages.
+    When both the vertical and temporal stages run, the temporal merge
+    keys levels by the vertical box index (lev holds box means after
+    stage 2, which rarely bit-match across time windows)."""
     if drop:
         obs = general_removal(obs, drop)
     if box_z_vertical > 0:
-        obs = superob_vertical(obs, box_z_vertical, min_count)
+        obs = superob_vertical(obs, box_z_vertical, min_count_vertical)
     if box_t > 0:
-        obs = superob_temporal(obs, box_t, min_count)
+        obs = superob_temporal(obs, box_t, min_count_temporal,
+                               box_z_key=box_z_vertical)
     if box_xy > 0 and box_z > 0:
         obs = superob_radar(obs, grid, box_xy, box_z, min_count)
     return obs

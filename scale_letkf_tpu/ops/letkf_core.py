@@ -52,12 +52,16 @@ def letkf_core(
     depd: jax.Array | None = None,  # (..., L) deterministic-member departures
     min_infl: float = 0.0,
     eigh_impl: str = "auto",  # 'ns' (matmul-only Newton–Schulz inverse
-                              # square root, ops/invsqrt.py — the fast TPU
+                              # square root, ops/invsqrt.py — XLA batched
                               # path: no eigendecomposition at all) |
+                              # 'ns_pallas' (fused-VMEM NS Pallas kernel,
+                              # 2.5×/4.0× 'ns' at K=50/100 on v5e; TPU
+                              # only, K ≤ 128 — VMEM bound) |
                               # 'lax' (jnp.linalg.eigh) | 'jacobi'
                               # (VPU row/col parallel Jacobi,
                               # ops/eigh_jacobi.py — fastest at small K) |
-                              # 'auto' (jacobi for K ≤ 16, else ns)
+                              # 'auto' (jacobi for K ≤ 16; ns_pallas on
+                              # TPU for K ≤ 128; else ns)
 ) -> LetkfResult:
     """Compute the LETKF transform for a batch of local analysis problems.
 
@@ -84,9 +88,22 @@ def letkf_core(
     gram = gram + shift[..., None] * jnp.eye(K, dtype=dtype)
 
     if eigh_impl == "auto":
-        eigh_impl = "jacobi" if (K <= 16 and K % 2 == 0) else "ns"
+        if K <= 16 and K % 2 == 0:
+            eigh_impl = "jacobi"
+        elif K <= 128 and dtype == jnp.float32 \
+                and jax.default_backend() == "tpu":
+            eigh_impl = "ns_pallas"
+        else:
+            eigh_impl = "ns"
 
-    if eigh_impl == "ns":
+    if eigh_impl == "ns_pallas":
+        # Fused-VMEM NS kernel (ops/invsqrt.py): the whole iteration in
+        # one Pallas program. The phase-1 eigenvalue floor uses the EXACT
+        # bound λ_min(gram) ≥ (K-1)/ρ — the inflation shift added above.
+        from scale_letkf_tpu.ops.invsqrt import invsqrt_ns_pallas
+        inv_sqrt, pao = invsqrt_ns_pallas(gram, shift[..., 0])
+        trans = jnp.sqrt(km1) * inv_sqrt
+    elif eigh_impl == "ns":
         # Matmul-only path: the transform needs only C^{-1} (= Pa) and
         # C^{-1/2} (= W/√(K-1)), never the eigenpairs — coupled
         # Newton–Schulz computes both on the MXU (ops/invsqrt.py).
