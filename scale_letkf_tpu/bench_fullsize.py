@@ -152,14 +152,78 @@ def _synthetic_ens_dycore(rng, K, grid, dom, amp_theta=0.5,
         nz, 1, 1)
 
 
-def _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref):
+def _synthetic_topo(rng, ny, nx, amp=400.0, n_hills=12):
+    """Smooth synthetic orography (Gaussian hills) standing in for the
+    reference's scale-rm_pp_ens topo preprocessing (cycle.sh step 1)."""
+    j, i = np.mgrid[0:ny, 0:nx]
+    topo = np.zeros((ny, nx), np.float32)
+    for _ in range(n_hills):
+        cx = nx * rng.random()
+        cy = ny * rng.random()
+        sx = nx * (0.03 + 0.08 * rng.random())
+        h = amp * rng.random()
+        topo += h * np.exp(-(((i - cx) / sx) ** 2 + ((j - cy) / sx) ** 2))
+    # flatten toward the lateral boundaries (bdy buffer compatibility)
+    tx = np.minimum(i, nx - 1 - i) / 12.0
+    ty = np.minimum(j, ny - 1 - j) / 12.0
+    return (topo * np.clip(np.minimum(tx, ty), 0.0, 1.0)).astype(
+        np.float32)
+
+
+def _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref,
+                          production=True, ens_base=None, seed=7):
     """CycleDriver without make_driver's full-3-D balanced_state device
-    allocation (only the (nz,1,1) reference columns are needed)."""
+    allocation (only the (nz,1,1) reference columns are needed).
+
+    production=True composes the reference's flagship configuration
+    (common_mpi_scale.f90:833; config/example/config.main.hakushu:72-78):
+    SI core + terrain + full physics suite + Davies boundary forcing
+    toward the balanced base state (the scale_init parent-file stand-in).
+    """
     import jax.numpy as jnp
     from scale_letkf_tpu.cycle import CycleDriver
+
+    topo = None
+    phys_cfg = None
+    bdy = None
+    bdy_width = 0
+    if production:
+        from scale_letkf_tpu.model.physics_suite import PhysicsConfig
+        from scale_letkf_tpu.model.boundary import BoundaryData
+        from scale_letkf_tpu.model.dycore import DycoreState
+        from scale_letkf_tpu.state import NQ
+        rng = np.random.default_rng(seed)
+        topo = _synthetic_topo(rng, grid.ny, grid.nx,
+                               amp=dom.get("topo_amp", 400.0))
+        phys = dict(dom.get("physics", {}))
+        phys.setdefault("mp_scheme",
+                        "kessler" if dom.get("use_physics") else "nsw6")
+        phys.setdefault("rad_interval", 10)
+        phys.setdefault("slab_capacity", 2.0e5)
+        phys_cfg = PhysicsConfig(**phys)
+        # boundary target: the balanced base columns broadcast to 3-D,
+        # HOST-resident numpy (uploaded per member batch by the stream)
+        nz, ny, nx = grid.nz, grid.ny, grid.nx
+        theta, rho1d, p1d, qv = _host_profiles(grid, dom)
+        rho3 = np.broadcast_to(rho1d[:, None, None],
+                               (nz, ny, nx)).astype(np.float32)
+        rhot3 = np.broadcast_to((rho1d * theta)[:, None, None],
+                                (nz, ny, nx)).astype(np.float32)
+        rhoq3 = np.zeros((NQ, nz, ny, nx), np.float32)
+        rhoq3[0] = (qv * rho1d)[:, None, None]
+        zeros = np.zeros((nz, ny, nx), np.float32)
+        base = DycoreState(rho=rho3, rhou=zeros, rhov=zeros,
+                           rhow=np.zeros((nz + 1, ny, nx), np.float32),
+                           rhot=rhot3, rhoq=rhoq3)
+        bdy = BoundaryData(state0=base, state1=base, t0=0.0, t1=1.0e9)
+        bdy_width = dom.get("bdy_width", 8)
     return CycleDriver(grid, cfg, dycfg, jnp.asarray(rho_ref),
                        jnp.asarray(p_ref),
-                       use_physics=dom.get("use_physics", False),
+                       use_physics=False if production
+                       else dom.get("use_physics", False),
+                       topo=topo, phys_cfg=phys_cfg, bdy=bdy,
+                       bdy_width=bdy_width,
+                       bdy_tau=dom.get("bdy_tau", 600.0),
                        core=dom.get("core", "explicit"),
                        n_small=dom.get("n_small", 6))
 
@@ -357,8 +421,14 @@ def _obs_from_truth(sc, truth_1, obs, nsteps, rng, radar=False, cfg=None):
     below-floor gates become weak echoes (the preprocessing relabels them
     ref-zero, as with real radar files). Obs whose operator QC failed are
     dropped."""
+    from scale_letkf_tpu.da.bigcycle import StreamedCycle
     from scale_letkf_tpu.obs.types import (
         QC_GOOD, QC_REF_LOW, ID_RADAR_REF)
+    # separate executor: the 1-member truth stream must not seed the
+    # K-member cycle's persisted tsfc (slab skin state) with a (1,ny,nx)
+    # array
+    sc = StreamedCycle(sc.d, member_batch=1, tile_rows=sc.tile_rows,
+                       verbose=sc.verbose)
     _, y, qc, _ = sc.forecast_and_hx(truth_1, nsteps, obs)
     y = y[0]
     keep = (qc == QC_GOOD) | (radar & (qc == QC_REF_LOW))
@@ -375,33 +445,51 @@ def _obs_from_truth(sc, truth_1, obs, nsteps, rng, radar=False, cfg=None):
 
 def bench_18km_cycle(config="configs/18km_japan.toml", nsteps=10, seed=0,
                      member_batch=2, tile_rows=20, overrides=None,
-                     n_sonde=700, n_ps=2000, members=None):
+                     n_sonde=700, n_ps=2000, members=None,
+                     production=True, slots=False, pipeline=True):
     """ONE complete 18-km DA cycle at reference size — ensemble forecast +
     full-size obsope + LETKF — via the member-streamed executor
-    (da/bigcycle.py). The forecast runs `nsteps` of the 720-step 6-h
-    window (LCYCLE=21600 s at dt=30 s, config/2015summer_18km); the
-    measured steady-state per-member-step cost extrapolates to the full
-    window and is reported alongside."""
+    (da/bigcycle.py). production=True runs the reference's flagship model
+    composition (SI + terrain + physics suite + Davies boundary).
+    slots=True additionally spreads obs over the configured LTIMESLOT
+    window (slot-matched H(x) extends the integration past the analysis
+    time, so nsteps should then be >= the window span). The forecast runs
+    `nsteps` of the 720-step 6-h window (LCYCLE=21600 s at dt=30 s,
+    config/2015summer_18km); the measured steady-state per-member-step
+    cost extrapolates to the full window and is reported alongside."""
     from scale_letkf_tpu.da.bigcycle import StreamedCycle, phase_table
 
     cfg, grid, dycfg, dom = _load_cfg(config, overrides)
     if members:
         cfg.ensemble.member = members
     K = cfg.ensemble.member
+    if not slots:
+        # 3-D window for the budgeted bench: the full 4-D window extends
+        # the integration to slot_end (coarsened 4-D equality is covered
+        # by tests/test_bigcycle.py::test_streamed_4d_slots_matches_incore)
+        cfg.obsope.slot_end = cfg.obsope.slot_start
     rng = np.random.default_rng(seed)
 
     t0 = time.time()
     ens, rho_ref, p_ref = _synthetic_ens_dycore(rng, K + 1, grid, dom)
     gen_s = time.time() - t0
-    driver = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref)
+    driver = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref,
+                                   production=production)
     sc = StreamedCycle(driver, member_batch=member_batch,
-                       tile_rows=tile_rows, pipeline=True, verbose=True)
+                       tile_rows=tile_rows, pipeline=pipeline,
+                       verbose=True)
 
     import jax
     truth = jax.tree.map(lambda a: a[:1], ens)
     ens = jax.tree.map(lambda a: np.ascontiguousarray(a[1:]), ens)
     obs = _synthetic_conv_network(cfg, grid, rng, n_sonde=n_sonde,
                                   n_ps=n_ps)
+    if slots:
+        # spread reports over the window's time slots
+        o = cfg.obsope
+        slot_times = (np.arange(o.slot_start, o.slot_end + 1)
+                      - o.slot_base) * o.slot_tinterval
+        obs.dif = rng.choice(slot_times, obs.nobs)
     obs = _obs_from_truth(sc, truth, obs, nsteps, rng)
 
     ens_a, infl, report = sc.cycle(ens, obs, nsteps)
@@ -414,6 +502,10 @@ def bench_18km_cycle(config="configs/18km_japan.toml", nsteps=10, seed=0,
         "config": config, "grid": f"{grid.nx}x{grid.ny}x{grid.nz}",
         "members": K, "nobs": int(obs.nobs),
         "nobs_good": int(sum(sg.nobs.values())),
+        "composition": ("si+stretch+terrain+physics_suite+davies_bdy"
+                        if production else "si+stretch"),
+        "window_4d_slots": (f"{cfg.obsope.slot_start}..{cfg.obsope.slot_end}"
+                            if slots else "single"),
         "steps_run": nsteps, "window_steps": window_steps,
         "s_per_member_step": round(per_mem_step, 4),
         "fcst_full_window_extrapolated_s": round(
@@ -431,11 +523,14 @@ def bench_18km_cycle(config="configs/18km_japan.toml", nsteps=10, seed=0,
 
 def bench_radar_cycle(config="configs/bda_1km_radar.toml", seed=0,
                       member_batch=10, tile_rows=48,
-                      n_obs_target=1_000_000, overrides=None, members=None):
+                      n_obs_target=1_000_000, overrides=None, members=None,
+                      production=True):
     """ONE complete dense-radar DA cycle at reference size: the FULL 30-s
     window (15 steps at dt=2 s — the reference's LCYCLE=30 s BDA regime,
     config/BDA_d3_100m_256p_bf40) + 888k-obs obsope for all members +
-    1-km-localization LETKF, via the member-streamed executor."""
+    1-km-localization LETKF, via the member-streamed executor.
+    production=True runs the full model composition (SI + terrain +
+    physics suite + Davies boundary)."""
     from scale_letkf_tpu.da.bigcycle import StreamedCycle, phase_table
 
     cfg, grid, dycfg, dom = _load_cfg(config, overrides)
@@ -449,7 +544,8 @@ def bench_radar_cycle(config="configs/bda_1km_radar.toml", seed=0,
     ens, rho_ref, p_ref = _synthetic_ens_dycore(rng, K + 1, grid, dom,
                                                 qr_blob=2.0e-3)
     gen_s = time.time() - t0
-    driver = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref)
+    driver = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref,
+                                   production=production)
     sc = StreamedCycle(driver, member_batch=member_batch,
                        tile_rows=tile_rows, verbose=True)
 
@@ -467,6 +563,8 @@ def bench_radar_cycle(config="configs/bda_1km_radar.toml", seed=0,
         "config": config, "grid": f"{grid.nx}x{grid.ny}x{grid.nz}",
         "members": K, "nobs": int(obs.nobs),
         "nobs_good": int(sum(sg.nobs.values())),
+        "composition": ("si+stretch+terrain+physics_suite+davies_bdy"
+                        if production else "si+stretch+kessler"),
         "steps_run": nsteps, "window_steps": nsteps,
         "s_per_member_step": round(report["fcst_s"] / (K * nsteps), 4),
         "state_gen_s": round(gen_s, 1),

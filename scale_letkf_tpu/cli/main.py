@@ -472,14 +472,17 @@ def cmd_cycle(args):
     # beyond-HBM member-streamed executor (da/bigcycle.py): full-size
     # domains where the in-core K-member state does not fit one chip
     if args.streamed:
-        if nested is not None or det is not None or addi is not None \
-                or slot_steps is not None:
+        if nested is not None or det is not None or addi is not None:
             sys.exit("error: --streamed does not combine with [nest], "
-                     "DET_RUN, additive inflation, or 4-D slots yet")
+                     "DET_RUN, or additive inflation yet")
+        # physics-suite slab state, per-member boundaries, and 4-D slots
+        # all thread through the stream (da/bigcycle.py)
         from scale_letkf_tpu.da.bigcycle import StreamedCycle, phase_table
         sc = StreamedCycle(driver, member_batch=args.member_batch,
                            tile_rows=args.tile_rows,
                            pipeline=args.pipeline)
+        if "tsfc" in aux:
+            sc.tsfc_host = np.asarray(aux["tsfc"], np.float32)
         ens_host = jax.tree.map(np.asarray, ens)
         for c in range(args.cycles):
             obs = read_obs_files(cfg, [args.obs_pattern.format(cycle=c)])
@@ -492,6 +495,8 @@ def cmd_cycle(args):
                 print(rep["stats_anal"].format("O-A"))
             print(phase_table(rep))
         aux_out = {"infl": infl} if infl is not None else {}
+        if sc.tsfc_host is not None:
+            aux_out["tsfc"] = sc.tsfc_host
         save_ensemble(args.out, ens_host, basename="anal.@@@@",
                       aux=aux_out, meta={"cycles": args.cycles,
                                          "streamed": True})

@@ -291,6 +291,10 @@ class CycleDriver:
         self._fcst_ens = jax.jit(fcst_ens, static_argnums=1)
         self._fcst_ens_phys = (jax.jit(fcst_ens_phys, static_argnums=1)
                                if phys_cfg is not None else None)
+        # unjitted physics-suite ensemble forecast for executors that fuse
+        # it into larger programs (da/bigcycle.py member-batch streams)
+        self._fcst_ens_phys_raw = (fcst_ens_phys if phys_cfg is not None
+                                   else None)
         self._phys_cfg = phys_cfg
         # persisted per-member slab skin temperature (K, ny, nx); None until
         # the first physics forecast (cold start) or set from a checkpoint

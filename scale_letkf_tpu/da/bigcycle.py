@@ -16,6 +16,21 @@ and analysis buffers, but every phase streams:
 - the analysis-variable -> prognostic-state inverse transform streams
   member batches back.
 
+The stream carries the PRODUCTION model composition (the reference's
+flagship configuration, hard-configured at common_mpi_scale.f90:833 and
+config/example/config.main.hakushu:72-78):
+
+- physics-suite drivers: the slab skin temperature (the land/ocean restart
+  state the reference carries between forecasts, common_scale.f90:60-98)
+  is threaded per member batch through a host-resident (K, ny, nx) array;
+- per-member lateral-boundary ensembles (the reference's per-member bdy
+  files): batch-sliced host-side and uploaded with each member batch;
+- terrain + stretched grids ride the composed driver unchanged;
+- 4-D assimilation windows: per-slot history snapshots are taken DURING
+  the member-batch integration and each obs is matched to its time slot
+  (obsope_tools.f90:431-508; SLOT_* in common_nml.f90:89-92) — the
+  full-window history never exists in memory at once.
+
 Per-phase wall-clock is reported like the reference's mpi_timer phase
 table (letkf.f90:90-255: READ_GUES/OBS_OPERATOR/PROCESS_OBS/DAS_LETKF/
 WRITE_ANAL). On a pod slice the member stream becomes the member-axis
@@ -29,7 +44,7 @@ import time
 
 import numpy as np
 
-from scale_letkf_tpu.obs.types import Observations, QC_GOOD
+from scale_letkf_tpu.obs.types import Observations, QC_GOOD, QC_TIME
 
 
 def _batch_of(K: int, requested: int) -> int:
@@ -47,6 +62,49 @@ def _log(msg):
           file=sys.stderr, flush=True)
 
 
+def _slot_parts(obs: Observations, cfg, dt: float, nsteps: int):
+    """Partition obs into time slots (obsope_tools.f90:256 slot rule).
+
+    Returns (parts, in_window) where parts is a list of
+    (step_point, padded_obs_subset, scatter_idx, n_real) in ascending
+    step order (the analysis-time point nsteps is always present, with
+    obs=None when no slot lands exactly there), or (None, None) for
+    single-slot windows."""
+    o = cfg.obsope
+    if o.slot_end <= o.slot_start:
+        return None, None
+    spb = o.slot_tinterval / dt
+    if abs(spb - round(spb)) > 1e-6:
+        raise ValueError(
+            f"slot_tinterval={o.slot_tinterval} must be a multiple of "
+            f"the model dt={dt}")
+    spb = int(round(spb))
+    slots = (np.ceil(np.asarray(obs.dif) / o.slot_tinterval - 0.5)
+             + o.slot_base).astype(np.int32)
+    in_window = (slots >= o.slot_start) & (slots <= o.slot_end)
+    step_of_slot = {
+        s: max(0, nsteps + (s - o.slot_base) * spb)
+        for s in range(o.slot_start, o.slot_end + 1)}
+    by_point: dict[int, list] = {}
+    for s, pt in step_of_slot.items():
+        m = np.nonzero(in_window & (slots == s))[0]
+        if len(m):
+            by_point.setdefault(pt, []).append(m)
+    parts = []
+    for pt in sorted(set(by_point) | {nsteps}):
+        groups = by_point.get(pt)
+        if groups is None:
+            parts.append((pt, None, None, 0))
+            continue
+        m = np.concatenate(groups)
+        nb = 64
+        while nb < len(m):
+            nb *= 2
+        mp = np.concatenate([m, np.full(nb - len(m), m[-1])])
+        parts.append((pt, obs.select(mp), m, len(m)))
+    return parts, in_window
+
+
 class StreamedCycle:
     """Full-size cycle executor: member-streamed forecast + obsope,
     host-streamed tiled analysis.
@@ -54,10 +112,9 @@ class StreamedCycle:
     Parameters
     ----------
     driver : cycle.CycleDriver
-        Supplies the composed forecast model, grid, config. Physics-suite
-        drivers (phys_cfg) and per-member boundary ensembles are not
-        supported in the stream (use the in-core driver); Kessler
-        `use_physics` and file/parent boundary forcing are.
+        Supplies the composed forecast model, grid, config — including
+        physics-suite drivers (phys_cfg), terrain, stretched grids, and
+        shared or per-member boundary forcing.
     member_batch : int
         Members per streamed device batch (rounded down to a divisor of K).
     tile_rows : int
@@ -71,16 +128,6 @@ class StreamedCycle:
         the current tile) — faster wall-clock, but the per-phase timer
         attribution becomes approximate (the blocking download absorbs
         whatever did not overlap)."""
-        import jax
-
-        if driver._fcst_ens_phys is not None:
-            raise NotImplementedError(
-                "StreamedCycle does not thread the physics-suite slab "
-                "state through member batches; use CycleDriver")
-        if driver.bdy is not None and driver.bdy.state0.rho.ndim == 4:
-            raise NotImplementedError(
-                "per-member boundary ensembles are not batch-sliced in "
-                "the stream; use CycleDriver")
         self.d = driver
         self.member_batch = member_batch
         self.tile_rows = tile_rows
@@ -88,10 +135,18 @@ class StreamedCycle:
         self.verbose = verbose
         self._jit_cache = {}
         self._last_obs = None
+        # persisted slab skin temperature (K, ny, nx) float32 host array;
+        # None until the first physics forecast (cold start) or set from a
+        # checkpoint (the reference's cycled land/ocean restart)
+        self.tsfc_host = None
 
-    # -- jitted per-batch programs (compiled once per (nsteps, batch)) --
+    @property
+    def _has_phys(self):
+        return self.d._fcst_ens_phys_raw is not None
 
-    def _programs(self, obs: Observations):
+    # -- jitted per-batch programs (compiled once per (obs, nsteps)) --
+
+    def _programs(self, obs: Observations, nsteps: int):
         import jax
         import jax.numpy as jnp
         from scale_letkf_tpu.state import (
@@ -101,21 +156,66 @@ class StreamedCycle:
         from scale_letkf_tpu.da.obsope import compute_hx_single
 
         d = self.d
-        key = id(obs)
+        key = (id(obs), nsteps)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
-        def gues_hx(ens_b):
-            gues = state_trans(jax.vmap(to_collocated)(ens_b))
-            fields = jax.vmap(
-                lambda g: state_to_history(g, d.z_full, d.topo))(gues)
-            y, qc = jax.vmap(
-                lambda f: compute_hx_single(f, obs, d.grid, d.cfg,
-                                            d.z_full))(fields)
-            return gues, y, qc.max(axis=0)
+        dt = d.dycfg.dt
+        parts, in_window = _slot_parts(obs, d.cfg, dt, nsteps)
+        if parts is None:
+            parts = [(nsteps, obs, np.arange(obs.nobs), obs.nobs)]
+            in_window = np.ones(obs.nobs, bool)
+        self._in_window = in_window
+        has_phys = self._has_phys
 
-        def mean_hx(mean_vars):
-            fields = state_to_history(mean_vars, d.z_full, d.topo)
+        def seg(state, tsfc, n, t0c, bdy):
+            """Integrate n steps from window time t0c, threading the slab
+            state when the driver runs the physics suite."""
+            if has_phys:
+                return d._fcst_ens_phys_raw(state, n, t0c, tsfc, bdy)
+            return d._fcst_ens_raw(state, n, t0c, bdy), tsfc
+
+        def member_fields(gues_k, tsfc_k):
+            if tsfc_k is None:
+                return jax.vmap(
+                    lambda g: state_to_history(g, d.z_full, d.topo))(gues_k)
+            return jax.vmap(
+                lambda g, ts: state_to_history(g, d.z_full, d.topo,
+                                               tsfc=ts))(gues_k, tsfc_k)
+
+        def fcst_hx(ens_b, t0, tsfc_b, bdy):
+            """Segmented forecast with slot-matched H(x). Unlike the
+            in-core 4-D path (whose per-slot snapshots carry no slab
+            state, cycle.py analysis), the stream threads tsfc through
+            the segments, so in-window H(x) sees the live skin state."""
+            b = ens_b.rho.shape[0]
+            y = jnp.zeros((b, obs.nobs))
+            qc = jnp.zeros((b, obs.nobs), jnp.int32)
+            state, tsfc = ens_b, tsfc_b
+            cur = 0
+            gues_out = None
+            for pt, obs_s, midx, n_real in parts:
+                if pt > cur:
+                    state, tsfc = seg(state, tsfc, pt - cur,
+                                      t0 + jnp.float32(cur * dt), bdy)
+                    cur = pt
+                snap = state_trans(jax.vmap(to_collocated)(state))
+                if pt == nsteps:
+                    gues_out = snap
+                if obs_s is not None:
+                    fields = member_fields(snap, tsfc)
+                    y_s, qc_s = jax.vmap(
+                        lambda f: compute_hx_single(f, obs_s, d.grid,
+                                                    d.cfg, d.z_full))(
+                        fields)
+                    idx = jnp.asarray(midx)
+                    y = y.at[:, idx].set(y_s[:, :n_real])
+                    qc = qc.at[:, idx].set(qc_s[:, :n_real])
+            return gues_out, y, qc.max(axis=0), tsfc
+
+        def mean_hx(mean_vars, tsfc_mean):
+            fields = state_to_history(mean_vars, d.z_full, d.topo,
+                                      tsfc=tsfc_mean)
             y, qc = compute_hx_single(fields, obs, d.grid, d.cfg, d.z_full)
             return y
 
@@ -126,9 +226,34 @@ class StreamedCycle:
                 positive_definite_qhyd=d.cfg.letkf.positive_definite_qhyd)
             return jax.vmap(from_collocated)(restart)
 
-        progs = (jax.jit(gues_hx), jax.jit(mean_hx), jax.jit(inv))
-        self._jit_cache = {key: progs}     # latest obs template only
+        def init_tsfc(ens_b):
+            from scale_letkf_tpu.model.physics_suite import (
+                init_physics_state)
+            return jax.vmap(
+                lambda s: init_physics_state(s, d.dz_phys,
+                                             d._phys_cfg).tsfc)(ens_b)
+
+        progs = (jax.jit(fcst_hx), jax.jit(mean_hx), jax.jit(inv),
+                 jax.jit(init_tsfc) if has_phys else None)
+        self._jit_cache = {key: progs}     # latest (obs, nsteps) only
         return progs
+
+    def _bdy_batch(self, i0: int, b: int):
+        """Boundary tuple for one member batch: per-member boundary
+        ensembles ((K, nz, ny, nx) leading axis) are batch-sliced
+        host-side; shared (deterministic-parent) boundaries pass through."""
+        import jax
+        import jax.numpy as jnp
+        d = self.d
+        if d.bdy is None or d._bdy_w2d is None:
+            return None
+        bd = d.bdy
+        if bd.state0.rho.ndim == 4:
+            sl = lambda st: jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a)[i0:i0 + b]), st)
+            return (sl(bd.state0), sl(bd.state1),
+                    jnp.float32(bd.t0), jnp.float32(bd.t1))
+        return d._bdy_args()
 
     # -- phases --
 
@@ -151,75 +276,99 @@ class StreamedCycle:
         b = _batch_of(K, self.member_batch)
         nz, ny, nx = d.grid.nz, d.grid.ny, d.grid.nx
         self._last_obs = obs
-        gues_hx_jit, _, _ = self._programs(obs)
-        bdy = d._bdy_args()
+        self._last_nsteps = nsteps
+        fcst_hx_jit, _, _, init_tsfc_jit = self._programs(obs, nsteps)
+        has_phys = self._has_phys
+        if has_phys and self.tsfc_host is None:
+            self.tsfc_host = np.empty((K, ny, nx), np.float32)
+            self._tsfc_cold = True
+        else:
+            self._tsfc_cold = False
 
         gues_host = np.empty((K, NV3D, nz, ny, nx), np.float32)
         ensval = np.empty((K, obs.nobs), np.float32)
         qc_worst = np.zeros(obs.nobs, np.int32)
-        t = {"upload_s": 0.0, "fcst_s": 0.0, "obsope_s": 0.0,
+        # the obs operator is FUSED into the forecast program (slot
+        # snapshots interleave with integration segments), so OBS_OPERATOR
+        # time is part of ENS_FORECAST here
+        t = {"upload_s": 0.0, "fcst_s": 0.0,
              "download_s": 0.0, "fcst_compile_s": 0.0, "batches": K // b}
 
         def upload(i0):
-            return jax.tree.map(
+            ens_b = jax.tree.map(
                 lambda a: jnp.asarray(a[i0:i0 + b]), ens_host)
+            if not has_phys:
+                return ens_b, None
+            if self._tsfc_cold:
+                tsfc_b = init_tsfc_jit(ens_b)
+            else:
+                tsfc_b = jnp.asarray(self.tsfc_host[i0:i0 + b])
+            return ens_b, tsfc_b
+
+        def finish_qc(qc_w):
+            # obs outside the assimilation window (QC_TIME, the reference's
+            # iqc_time, common_obs_scale.f90:147)
+            return np.where(self._in_window, qc_w, QC_TIME)
 
         if self.pipeline:
             # double-buffered: dispatch forecast+hx, prefetch the next
             # batch upload while they run, then block on the download
             t["pipelined"] = True
-            ens_b = upload(0)
+            ens_b, tsfc_b = upload(0)
+            bdy_b = self._bdy_batch(0, b)
             for i0 in range(0, K, b):
                 tt = time.time()
-                ens_f = d._fcst_ens(ens_b, nsteps, jnp.float32(t0), bdy)
-                gues_b, y_b, qc_b = gues_hx_jit(ens_f)      # async
+                gues_b, y_b, qc_b, tsfc_o = fcst_hx_jit(
+                    ens_b, jnp.float32(t0), tsfc_b, bdy_b)   # async
                 if i0 + b < K:
-                    ens_b = upload(i0 + b)                  # overlaps
+                    ens_b, tsfc_b = upload(i0 + b)          # overlaps
+                    bdy_b = self._bdy_batch(i0 + b, b)
                 gues_host[i0:i0 + b] = np.asarray(gues_b)   # blocks
                 ensval[i0:i0 + b] = np.asarray(y_b)
                 qc_worst = np.maximum(qc_worst, np.asarray(qc_b))
-                dt = time.time() - tt
+                if has_phys:
+                    self.tsfc_host[i0:i0 + b] = np.asarray(tsfc_o)
+                dt_w = time.time() - tt
                 if i0 == 0:
-                    t["fcst_compile_s"] = dt
+                    t["fcst_compile_s"] = dt_w
                 else:
-                    t["fcst_s"] += dt      # = steady pipelined batch wall
+                    t["fcst_s"] += dt_w    # = steady pipelined batch wall
                 if self.verbose:
                     _log(f"fcst+hx batch {i0 // b + 1}/{K // b} done")
             if K > b:
                 t["fcst_s"] *= K / (K - b)
-            return gues_host, ensval, qc_worst, t
+            return gues_host, ensval, finish_qc(qc_worst), t
 
         for i0 in range(0, K, b):
             tt = time.time()
-            ens_b = upload(i0)
+            ens_b, tsfc_b = upload(i0)
+            bdy_b = self._bdy_batch(i0, b)
             jax.block_until_ready(ens_b.rho)
             t["upload_s"] += time.time() - tt
 
             tt = time.time()
-            ens_f = d._fcst_ens(ens_b, nsteps, jnp.float32(t0), bdy)
-            jax.block_until_ready(ens_f.rho)
-            dt = time.time() - tt
-            if i0 == 0:
-                t["fcst_compile_s"] = dt    # first batch pays the compile
-            else:
-                t["fcst_s"] += dt
-
-            tt = time.time()
-            gues_b, y_b, qc_b = gues_hx_jit(ens_f)
+            gues_b, y_b, qc_b, tsfc_o = fcst_hx_jit(
+                ens_b, jnp.float32(t0), tsfc_b, bdy_b)
             jax.block_until_ready(y_b)
-            t["obsope_s"] += time.time() - tt
+            dt_w = time.time() - tt
+            if i0 == 0:
+                t["fcst_compile_s"] = dt_w  # first batch pays the compile
+            else:
+                t["fcst_s"] += dt_w
 
             tt = time.time()
             gues_host[i0:i0 + b] = np.asarray(gues_b)
             ensval[i0:i0 + b] = np.asarray(y_b)
             qc_worst = np.maximum(qc_worst, np.asarray(qc_b))
+            if has_phys:
+                self.tsfc_host[i0:i0 + b] = np.asarray(tsfc_o)
             t["download_s"] += time.time() - tt
             if self.verbose:
                 _log(f"fcst+hx batch {i0 // b + 1}/{K // b} done")
         # steady-state forecast rate excludes the compiled first batch
         if K > b:
             t["fcst_s"] *= K / (K - b)
-        return gues_host, ensval, qc_worst, t
+        return gues_host, ensval, finish_qc(qc_worst), t
 
     def analysis(self, gues_host, obs: Observations, ensval, qc_worst,
                  infl_field=None):
@@ -259,7 +408,8 @@ class StreamedCycle:
         b = _batch_of(K, self.member_batch)
         if self._last_obs is None:
             raise RuntimeError("run forecast_and_hx (or cycle) first")
-        _, _, inv_jit = self._programs(self._last_obs)
+        _, _, inv_jit, _ = self._programs(self._last_obs,
+                                          self._last_nsteps)
         nz, ny, nx = d.grid.nz, d.grid.ny, d.grid.nx
         from scale_letkf_tpu.state import NQ
         if out is None:
@@ -293,6 +443,7 @@ class StreamedCycle:
         from scale_letkf_tpu.da.monitor import monit_dep
 
         self._last_obs = obs
+        self._last_nsteps = nsteps
         total0 = time.time()
         gues_host, ensval, qc_worst, t_f = self.forecast_and_hx(
             ens_host, nsteps, obs, t0)
@@ -305,9 +456,12 @@ class StreamedCycle:
         if monitor:
             # O-A from the analysis-mean H(x) (monit_obs_mpi equivalent)
             tt = time.time()
-            _, mean_hx_jit, _ = self._programs(obs)
+            _, mean_hx_jit, _, _ = self._programs(obs, nsteps)
+            tsfc_mean = (jnp.asarray(self.tsfc_host.mean(axis=0))
+                         if self.tsfc_host is not None else None)
             y_a = np.asarray(mean_hx_jit(
-                jnp.asarray(anal.mean(axis=0, dtype=np.float32)))).copy()
+                jnp.asarray(anal.mean(axis=0, dtype=np.float32)),
+                tsfc_mean)).copy()
             # drop the H08 cloudy-sky sign flag before forming O-A (the
             # in-core driver does the same, cycle.py analysis monitor)
             from scale_letkf_tpu.obs.types import ID_H08IR
@@ -336,7 +490,7 @@ def phase_table(report: dict) -> str:
     rows = [("READ_GUES (upload)", report.get("upload_s"), False),
             ("ENS_FORECAST", report.get("fcst_s"), fcst_est),
             ("  fcst compile", report.get("fcst_compile_s"), False),
-            ("OBS_OPERATOR", report.get("obsope_s"), False),
+            ("OBS_OPERATOR (fused)", report.get("obsope_s"), False),
             ("GUES download", report.get("download_s"), False),
             ("PROCESS_OBS", report.get("process_obs_s"), False),
             ("DAS_LETKF", report.get("das_letkf_s"), False),
