@@ -85,6 +85,73 @@ def _load_cfg(path, overrides=None):
     return load_config_and_grid(path, domain_overrides=overrides)
 
 
+def _synthetic_resident_gues(seed, K, grid, batch=10):
+    """Device-generated synthetic analysis-variable ensemble in the
+    RESIDENT (f32 mean + bf16 deviation) layout — the state never crosses
+    the host↔device link. Matches _synthetic_gues's construction
+    (hydrostatic profile + smoothed noise)."""
+    import jax
+    import jax.numpy as jnp
+    from scale_letkf_tpu.da.resident import ResidentEnsemble
+    from scale_letkf_tpu.state import NV3D, IA_U, IA_V, IA_W, IA_T, IA_P, \
+        IA_Q0
+    from scale_letkf_tpu.constants import RD, GRAV
+    from scale_letkf_tpu.da.bigcycle import _batch_of
+
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    cz = np.asarray(grid.cz)
+    t_prof = (300.0 - 0.0065 * cz).astype(np.float32)
+    p_prof = (1.0e5 * np.exp(-GRAV * cz / (RD * 280.0))).astype(np.float32)
+    prof = np.zeros((NV3D, nz), np.float32)
+    prof[IA_T] = t_prof
+    prof[IA_P] = p_prof
+    prof[IA_U] = 5.0
+    prof[IA_Q0] = 1e-3
+    amp = np.full(NV3D, 0.5, np.float32)
+    amp[[IA_U, IA_V]] = 1.0
+    amp[IA_W] = 0.1
+    amp[IA_T] = 0.5
+    amp[IA_P] = 50.0
+    amp[IA_Q0:] = 1e-4
+    prof_d = jnp.asarray(prof)[:, :, None, None]
+    amp_d = jnp.asarray(amp)[:, None, None, None]
+
+    # bound the generator's f32 temporaries (noise + smoothing copies
+    # next to the donated bf16 dev buffer): ~0.6 GB per member-batch field
+    field_elems = NV3D * nz * ny * nx
+    batch = max(1, min(batch, int(150e6 // field_elems)))
+    b = _batch_of(K, batch)
+    from scale_letkf_tpu.da.resident import _donate
+
+    def gen_batch(dev, accum, key, i0):
+        noise = jax.random.normal(key, (b, NV3D, nz, ny, nx), jnp.float32)
+        for ax in (-1, -2):           # 1-2-1 smoothing, 2 passes
+            for _ in range(2):
+                noise = 0.5 * noise + 0.25 * (
+                    jnp.roll(noise, 1, ax) + jnp.roll(noise, -1, ax))
+        members = prof_d[None] + amp_d[None] * noise
+        # positive moisture floor (as the host generator)
+        q = jnp.abs(members[:, IA_Q0]) + 1e-3
+        members = members.at[:, IA_Q0].set(q)
+        # in-place batch write (donated buffer): the concat formulation
+        # transiently doubled the 18-km dev allocation and OOM'd
+        dev = jax.lax.dynamic_update_slice_in_dim(
+            dev, (members - prof_d[None]).astype(jnp.bfloat16), i0, axis=0)
+        return dev, accum + jnp.sum(members, axis=0)
+
+    gen_jit = jax.jit(gen_batch,
+                      donate_argnums=(0, 1) if _donate() else ())
+    key = jax.random.PRNGKey(seed)
+    dev = jnp.zeros((K, NV3D, nz, ny, nx), jnp.bfloat16)
+    accum = jnp.zeros((NV3D, nz, ny, nx), jnp.float32)
+    for i0 in range(0, K, b):
+        key, sub = jax.random.split(key)
+        dev, accum = gen_jit(dev, accum, sub, jnp.int32(i0))
+    mean = accum / K
+    return ResidentEnsemble(mean, dev, ref=jnp.broadcast_to(
+        prof_d, (NV3D, nz, ny, nx)))
+
+
 def _host_profiles(grid, dom):
     """Hydrostatic base profiles on HOST (no device transfers — eager jnp
     on big host arrays is a round trip per op over tunneled accelerators)."""
@@ -414,6 +481,106 @@ def bench_18km_analysis(config="configs/18km_japan.toml", seed=0,
     }
 
 
+def _cache_entries():
+    import os
+    try:
+        return len(os.listdir("/tmp/jax_cache_scale_letkf"))
+    except Exception:
+        return 0
+
+
+def _bench_resident_analysis(config, obs, seed, tile_rows, extra=None):
+    """Shared driver for the RESIDENT full-size analysis benches: the
+    ensemble is generated ON DEVICE in the f32-mean + bf16-deviation
+    layout, the (K, nobs) synthetic ensemble H(x) is generated on device,
+    and the tiled analysis slices/writes the resident buffers in place —
+    no state ever crosses the host↔device link (da/resident.py; the
+    round-4 streamed benches spent 150-520 s on tunnel transfer)."""
+    import jax
+    import jax.numpy as jnp
+    from scale_letkf_tpu.da.letkf_obs import build_obs_context
+    from scale_letkf_tpu.da.resident import analyze_resident
+
+    cfg, grid, dycfg, dom = config
+    K = cfg.ensemble.member
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    cache0 = _cache_entries()
+
+    t0 = time.time()
+    ens = _synthetic_resident_gues(seed, K, grid)
+    jax.block_until_ready(ens.dev)
+    gen_s = time.time() - t0
+
+    # synthetic ensemble H(x) on device: dat + spread-consistent noise
+    t0 = time.time()
+    nobs = obs.nobs
+    dat_d = jnp.asarray(np.asarray(obs.dat, np.float32))
+    err_d = jnp.asarray(np.asarray(obs.err, np.float32))
+
+    @jax.jit
+    def gen_ensval(key):
+        return dat_d[None] + err_d[None] * jax.random.normal(
+            key, (K, nobs), jnp.float32)
+
+    ensval = gen_ensval(jax.random.PRNGKey(seed + 1))
+    ctx = build_obs_context(obs, ensval, np.zeros(nobs, np.int32), cfg,
+                            grid)
+    prep_s = time.time() - t0
+
+    z_full = np.asarray(grid.calc_z(np.zeros((ny, nx))))
+    t0 = time.time()
+    stats = analyze_resident(ens, ctx, cfg, grid, z_full,
+                             tile_rows=tile_rows)
+    wall_s = time.time() - t0
+    assert bool(jnp.isfinite(ens.mean).all())
+    npts = nz * ny * nx
+    out = {
+        "grid": f"{nx}x{ny}x{nz}", "members": K, "executor": "resident",
+        "nobs": int(nobs), "nobs_good": int((ctx.qc == 0).sum()),
+        "analysis_s": round(wall_s, 1),
+        "gridpoints_per_s": round(npts / max(stats["compute_s"], 1e-9), 1),
+        "compute_s": round(stats["compute_s"], 2),
+        "transfer_s": 0.0,
+        "compile_s": round(stats["compile_s"], 2),
+        "tiles": stats["tiles"],
+        "nobs_local_mean": round(stats["nobs_mean"], 1),
+        "peak_hbm_gb": _device_mem_gb(),
+        "state_gen_s": round(gen_s, 1), "obs_prep_s": round(prep_s, 1),
+        "new_compile_cache_entries": _cache_entries() - cache0,
+    }
+    if extra:
+        out.update(extra)
+    return out
+
+
+def bench_radar_analysis_resident(config="configs/bda_1km_radar.toml",
+                                  n_obs_target=1_000_000, seed=0,
+                                  tile_rows=48):
+    """Full-size dense-radar analysis, device-resident executor."""
+    loaded = _load_cfg(config)
+    cfg, grid, dycfg, dom = loaded
+    rng = np.random.default_rng(seed)
+    obs = _synthetic_radar_volume(cfg, dom, rng, n_obs_target)
+    return _bench_resident_analysis(loaded, obs, seed, tile_rows,
+                                    extra={"config": config})
+
+
+def bench_18km_analysis_resident(config="configs/18km_japan.toml", seed=0,
+                                 tile_rows=12):
+    """Full-size 18-km analysis, device-resident executor: the 13.7 GB
+    f32 K=50 state lives in HBM as 7.0 GB of f32 mean + bf16 deviations."""
+    loaded = _load_cfg(config)
+    cfg, grid, dycfg, dom = loaded
+    # one level per scan iteration: the auto level-chunker would batch 2+
+    # levels at small row tiles, doubling the per-iteration obs-gather
+    # buffers next to the 6.9 GB resident state
+    cfg.letkf.level_batch = 1
+    rng = np.random.default_rng(seed)
+    obs = _synthetic_conv_network(cfg, grid, rng)
+    return _bench_resident_analysis(loaded, obs, seed, tile_rows,
+                                    extra={"config": config})
+
+
 def _obs_from_truth(sc, truth_1, obs, nsteps, rng, radar=False, cfg=None):
     """Overwrite obs.dat with H(truth at analysis time) + noise using the
     streamed executor (truth_1: 1-member DycoreState host arrays). Radar
@@ -584,6 +751,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "radar"
     fn = {"radar": bench_radar_analysis,
           "18km": bench_18km_analysis,
+          "radar_resident": bench_radar_analysis_resident,
+          "18km_resident": bench_18km_analysis_resident,
           "radar_cycle": bench_radar_cycle,
           "18km_cycle": bench_18km_cycle}[which]
     print(json.dumps(fn()))

@@ -108,6 +108,11 @@ class LetkfConfig:
     # reference analogue): 'lax' = jnp.linalg.eigh; 'jacobi' = MXU-native
     # parallel Jacobi (ops/eigh_jacobi.py), faster at large K on TPU
     eigh_impl: str = "auto"
+    # bf16-packed (dep|hdxb) obs-table gather in the analysis (halves the
+    # element-count-bound TPU gather; hdxb carries ~0.4% of the H(x)
+    # perturbation magnitude — same precision class as the bf16 state
+    # transport). Set False for strict-f32 selection parity.
+    hdxb_gather_bf16: bool = True
     # levels batched per analysis scan iteration; 0 = auto (batch small
     # domains up to ~64k gridpoints per iteration, chunk 1 at full size) —
     # framework knob, no reference analogue (the reference loop is scalar)

@@ -62,6 +62,23 @@ def _log(msg):
           file=sys.stderr, flush=True)
 
 
+def bdy_batch(driver, i0: int, b: int):
+    """Boundary tuple for one member batch: per-member boundary ensembles
+    ((K, nz, ny, nx) leading axis) are batch-sliced host-side; shared
+    (deterministic-parent) boundaries pass through."""
+    import jax
+    import jax.numpy as jnp
+    if driver.bdy is None or driver._bdy_w2d is None:
+        return None
+    bd = driver.bdy
+    if bd.state0.rho.ndim == 4:
+        sl = lambda st: jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a)[i0:i0 + b]), st)
+        return (sl(bd.state0), sl(bd.state1),
+                jnp.float32(bd.t0), jnp.float32(bd.t1))
+    return driver._bdy_args()
+
+
 def _slot_parts(obs: Observations, cfg, dt: float, nsteps: int):
     """Partition obs into time slots (obsope_tools.f90:256 slot rule).
 
@@ -239,21 +256,7 @@ class StreamedCycle:
         return progs
 
     def _bdy_batch(self, i0: int, b: int):
-        """Boundary tuple for one member batch: per-member boundary
-        ensembles ((K, nz, ny, nx) leading axis) are batch-sliced
-        host-side; shared (deterministic-parent) boundaries pass through."""
-        import jax
-        import jax.numpy as jnp
-        d = self.d
-        if d.bdy is None or d._bdy_w2d is None:
-            return None
-        bd = d.bdy
-        if bd.state0.rho.ndim == 4:
-            sl = lambda st: jax.tree.map(
-                lambda a: jnp.asarray(np.asarray(a)[i0:i0 + b]), st)
-            return (sl(bd.state0), sl(bd.state1),
-                    jnp.float32(bd.t0), jnp.float32(bd.t1))
-        return d._bdy_args()
+        return bdy_batch(self.d, i0, b)
 
     # -- phases --
 

@@ -49,6 +49,7 @@ from scale_letkf_tpu.ops.letkf_core import (
 )
 from scale_letkf_tpu.ops.obs_select import (
     gather_candidates, local_weights, limit_obs_topk, gather_obs_data,
+    pack_obs_table, gather_obs_data_packed,
 )
 from scale_letkf_tpu.state import IA_P, IA_Q0
 
@@ -94,6 +95,9 @@ class _Plan:
     eigh_impl: str
     has_obs_good: bool = False   # fused path: per-obs usable mask applied
                                  # to rloc before selection (QC in-graph)
+    bf16_gather: bool = True     # bf16-packed (dep|hdxb) table gather —
+                                 # halves the dominant per-level gather
+                                 # (element-count bound on TPU); f32-only
     level_chunk: int = 1         # levels batched per scan iteration (see
                                  # _auto_level_chunk)
 
@@ -242,6 +246,8 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
         obs_vert, obs_err = repl(obs_vert), repl(obs_err)
         dep_g, hdxb_g = repl(dep_g), repl(hdxb_g)
         depd_g = repl(depd_g)
+        use_packed = plan.bf16_gather and dtype == jnp.float32
+        packed_g = pack_obs_table(dep_g, hdxb_g) if use_packed else None
         pert_det_zvb = gp_in(pert_det_zvb)
         mean_det_zvb = gp_in(mean_det_zvb)
 
@@ -275,7 +281,7 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
                 if cp.max_nobs > 0:
                     idx_k, rloc_k, rdiag_k = limit_obs_topk(
                         cand[ic], nd2, rloc, rdiag, cp.max_nobs,
-                        plan.criterion)
+                        plan.criterion, obs_err=obs_err)
                 else:
                     idx_k = jnp.where(rloc > 0, cand[ic], -1)
                     rloc_k, rdiag_k = rloc, rdiag
@@ -294,7 +300,10 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
                 widths = [1]
 
             # ONE gather shared by every var-local group
-            dep_l, hdxb_l = gather_obs_data(idx, dep_g, hdxb_g)
+            if use_packed:
+                dep_l, hdxb_l = gather_obs_data_packed(idx, packed_g, K)
+            else:
+                dep_l, hdxb_l = gather_obs_data(idx, dep_g, hdxb_g)
             dep_l, hdxb_l = gp(dep_l), gp(hdxb_l)
             if plan.has_depd:
                 depd_l, _ = gather_obs_data(idx, depd_g, hdxb_g)
@@ -483,6 +492,7 @@ def _make_plan(ctx: ObsContext, cfg: Config, nv: int,
         has_det=has_det,
         has_depd=ctx.depd is not None,
         eigh_impl=str(cfg.letkf.eigh_impl),
+        bf16_gather=bool(cfg.letkf.hdxb_gather_bf16),
     )
 
 

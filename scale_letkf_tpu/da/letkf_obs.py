@@ -382,7 +382,10 @@ def build_obs_context(
             # reports (multi-level sondes, radar gate columns sharing one
             # x,y) concentrate in a single fine cell, so the uniform-density
             # 2·max_nobs/nsch² estimate would overflow and silently drop
-            cap_max = max(4, 64, -(-2 * max_nobs // (nsch * nsch)))
+            # floor 16 ≈ two 8-level report columns per fine cell; 64
+            # quadrupled the radar candidate width (81 cells × cap) and
+            # with it the dominant selection-sort cost
+            cap_max = max(4, 16, -(-2 * max_nobs // (nsch * nsch)))
         else:
             cap_max = 0
         buckets = build_buckets(x[idx], y[idx], -half_x, -half_y,

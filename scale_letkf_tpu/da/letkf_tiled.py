@@ -33,6 +33,25 @@ from scale_letkf_tpu.da.letkf import (
 from scale_letkf_tpu.state import IA_P
 
 
+def _tiled_guards(cfg):
+    """Explicit guards instead of silently feature-stripped analyses: the
+    tile loops (host-streamed here; device-resident in da/resident.py) do
+    not thread a deterministic member, additive inflation, or the RTPS
+    output field (mirrors analyze()'s raise-on-unsupported contract)."""
+    if cfg.letkf.infl_add > 0:
+        raise NotImplementedError(
+            "tiled analysis does not support additive inflation "
+            "(INFL_ADD > 0; letkf_tools.f90:804-929) — use analyze()")
+    if cfg.letkf.relax_spread_out:
+        raise NotImplementedError(
+            "tiled analysis does not support RELAX_SPREAD_OUT — "
+            "use analyze()")
+    if cfg.ensemble.det_run:
+        raise NotImplementedError(
+            "tiled analysis does not support a deterministic member "
+            "(DET_RUN; letkf_tools.f90:489-497) — use analyze()")
+
+
 def analyze_tiled(
     gues_host: np.ndarray,        # (K, NV3D, nz, ny, nx) float32, host RAM
     ctx,                          # ObsContext (da/letkf_obs.py)
@@ -57,22 +76,7 @@ def analyze_tiled(
     import jax.numpy as jnp
     import ml_dtypes
 
-    # explicit guards instead of silently feature-stripped analyses: the
-    # tile loop does not thread a deterministic member, additive inflation,
-    # or the RTPS output field (mirrors analyze()'s raise-on-unsupported
-    # contract, da/letkf.py)
-    if cfg.letkf.infl_add > 0:
-        raise NotImplementedError(
-            "analyze_tiled does not support additive inflation "
-            "(INFL_ADD > 0; letkf_tools.f90:804-929) — use analyze()")
-    if cfg.letkf.relax_spread_out:
-        raise NotImplementedError(
-            "analyze_tiled does not support RELAX_SPREAD_OUT — "
-            "use analyze()")
-    if cfg.ensemble.det_run:
-        raise NotImplementedError(
-            "analyze_tiled does not support a deterministic member "
-            "(DET_RUN; letkf_tools.f90:489-497) — use analyze()")
+    _tiled_guards(cfg)
 
     K, nv, nz, ny, nx = gues_host.shape
     if ny % tile_rows:

@@ -160,16 +160,24 @@ def _ns_fused_kernel(it_lo, it_hi, a_ref, areg_ref, isq_ref, inv_ref):
 
 
 def _power_bound(c_mat, iters: int = 8):
-    """Per-matrix λ_max upper estimate by power iteration (tight, unlike
-    Gershgorin's up-to-K× overestimate) ×1.05. NS converges for spectrum
-    in (0, 3), so a slight underestimate is safe."""
+    """Per-matrix λ_max estimate: power iteration (tight, unlike
+    Gershgorin's up-to-K× overestimate) ×1.05, FLOORED at Gershgorin/2.9.
+
+    The floor is what makes this safe: NS converges for normalized
+    spectrum in (0, 3), and a power start vector near-orthogonal to the
+    top eigenvector can underestimate λ_max badly (observed on real radar
+    Grams — 16 NaN analysis points at 48x48x16 K=50). Since
+    gersh ≥ λ_max always, c ≥ gersh/2.9 guarantees λ_max/c ≤ 2.9 < 3
+    regardless of the power estimate."""
     HI = jax.lax.Precision.HIGHEST
+    gersh = jnp.max(jnp.sum(jnp.abs(c_mat), axis=-1), axis=-1)
     v = jnp.ones(c_mat.shape[:-1], c_mat.dtype)[..., None]
     for _ in range(iters):
         v = jnp.matmul(c_mat, v, precision=HI)
         v = v / jnp.linalg.norm(v, axis=-2, keepdims=True)
     w = jnp.matmul(c_mat, v, precision=HI)
-    return 1.05 * jnp.linalg.norm(w, axis=(-2, -1))
+    power = jnp.linalg.norm(w, axis=(-2, -1))
+    return jnp.maximum(1.05 * power, gersh / 2.9)
 
 
 def invsqrt_ns_pallas(

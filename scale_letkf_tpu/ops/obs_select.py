@@ -156,16 +156,22 @@ def build_buckets(
                       nsch=nsch)
 
 
-def gather_candidates(grid: BucketGrid, gx: jax.Array, gy: jax.Array) -> jax.Array:
+def gather_candidates(grid: BucketGrid, gx: jax.Array, gy: jax.Array,
+                      table: jax.Array | None = None) -> jax.Array:
     """Candidate obs ids for each gridpoint from its (2·nsch+1)² bucket
     neighborhood (nsch=1 → the classic 3×3; finer sort meshes carry a wider
     static halo, the reference's ngrdsch search rectangle,
     letkf_obs.f90:676-677 + obs_local_range).
 
     gx, gy: (B,) gridpoint coordinates in the bucket coordinate system.
+    `table`: optional pre-uploaded device copy of grid.table — pass it
+    when calling inside jit (otherwise the host table is baked into the
+    program as a constant: at radar densities that bloats the executable
+    and the compile time).
     Returns (B, (2·nsch+1)²·cap) int32 with -1 padding.
     """
-    table = jnp.asarray(grid.table)
+    if table is None:
+        table = jnp.asarray(grid.table)
     ny, nx, cap = table.shape
     n = grid.nsch
     ci = jnp.floor((gx - grid.x0) / grid.spacing_x).astype(jnp.int32)
@@ -239,12 +245,23 @@ def limit_obs_topk(
     max_nobs: int,           # output capacity L; 0/negative not allowed here
     criterion: int = 1,      # 1: nearest 3-D distance, 2: largest rloc,
                              # 3: smallest rdiag (MAX_NOBS_PER_GRID_CRITERION)
+    obs_err: jax.Array | None = None,   # (nobs,) — enables the 2-payload
+                             # fast path (rloc/rdiag recomputed post-slice)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Select up to max_nobs obs per gridpoint by the configured criterion
     (reference: QUICKSELECT by distance/weight/variance,
     letkf_tools.f90:1614-1617,1694-1703) via lax.top_k.
 
-    Returns (idx, rloc, rdiag) of shape (B, max_nobs) with -1/0/1 padding."""
+    Returns (idx, rloc, rdiag) of shape (B, max_nobs) with -1/0/1 padding.
+
+    With obs_err given, the sort carries only (score, idx) — half the
+    data movement of the 4-payload variant (the sort dominates dense-radar
+    selection: 99 ms/level at (9216, 5184) on v5e) — and rloc/rdiag are
+    recomputed exactly from the sliced score + a small (B, L) err gather:
+      criterion 1: score = ndist2  → rloc = taper(score)
+      criterion 2: score = -rloc   → rloc = -score
+      criterion 3: score = rdiag   → rdiag = score, rloc = err²/rdiag
+    """
     bad = rloc <= 0
     if criterion == 2:
         score = jnp.where(bad, jnp.inf, -rloc)
@@ -253,24 +270,45 @@ def limit_obs_topk(
     else:
         score = jnp.where(bad, jnp.inf, ndist2)
     k = min(max_nobs, cand_idx.shape[-1])
+    B = cand_idx.shape[0]
     # variadic sort carrying the payloads, then a contiguous slice: the
     # equivalent top_k + take_along_axis pays ~25x the sort cost in TPU
     # lane-wise gathers (xprof-measured); the sort moves the payload rows
     # natively. Ascending by score (best first), bad slots pushed to the
     # end by +inf.
-    _, idx_s, rloc_s, rdiag_s = jax.lax.sort(
-        (score, cand_idx, rloc, rdiag), dimension=-1, num_keys=1,
-        is_stable=False)
-    idx_k = idx_s[..., :k]
-    rloc_k = rloc_s[..., :k]
-    rdiag_k = rdiag_s[..., :k]
-    keep = rloc_k > 0      # rejected/padded candidates carry rloc == 0
-    idx_k = jnp.where(keep, idx_k, -1)
-    rloc_k = jnp.where(keep, rloc_k, 0.0)
-    rdiag_k = jnp.where(keep, rdiag_k, 1.0)
+    if obs_err is not None:
+        score_s, idx_s = jax.lax.sort(
+            (score, cand_idx), dimension=-1, num_keys=1, is_stable=False)
+        score_k = score_s[..., :k]
+        idx_k = idx_s[..., :k]
+        keep = jnp.isfinite(score_k)
+        idx_k = jnp.where(keep, idx_k, -1)
+        oe = obs_err[jnp.maximum(idx_k, 0)]
+        if criterion == 2:
+            rloc_k = jnp.where(keep, -score_k, 0.0)
+            rdiag_k = jnp.where(keep, oe * oe / jnp.maximum(-score_k, 1e-30),
+                                1.0)
+        elif criterion == 3:
+            rdiag_k = jnp.where(keep, score_k, 1.0)
+            rloc_k = jnp.where(keep,
+                               oe * oe / jnp.maximum(score_k, 1e-30), 0.0)
+        else:
+            rl = gauss_taper(score_k)
+            rloc_k = jnp.where(keep, rl, 0.0)
+            rdiag_k = jnp.where(keep, oe * oe / jnp.maximum(rl, 1e-30), 1.0)
+    else:
+        _, idx_s, rloc_s, rdiag_s = jax.lax.sort(
+            (score, cand_idx, rloc, rdiag), dimension=-1, num_keys=1,
+            is_stable=False)
+        idx_k = idx_s[..., :k]
+        rloc_k = rloc_s[..., :k]
+        rdiag_k = rdiag_s[..., :k]
+        keep = rloc_k > 0      # rejected/padded candidates carry rloc == 0
+        idx_k = jnp.where(keep, idx_k, -1)
+        rloc_k = jnp.where(keep, rloc_k, 0.0)
+        rdiag_k = jnp.where(keep, rdiag_k, 1.0)
     if max_nobs > k:
         pad = max_nobs - k
-        B = cand_idx.shape[0]
         idx_k = jnp.concatenate(
             [idx_k, jnp.full((B, pad), -1, idx_k.dtype)], axis=-1)
         rloc_k = jnp.concatenate([rloc_k, jnp.zeros((B, pad), rloc_k.dtype)],
@@ -278,6 +316,52 @@ def limit_obs_topk(
         rdiag_k = jnp.concatenate([rdiag_k, jnp.ones((B, pad), rdiag_k.dtype)],
                                   axis=-1)
     return idx_k, rloc_k, rdiag_k
+
+
+def pack_obs_table(dep: jax.Array, ensval_pert: jax.Array) -> jax.Array:
+    """Pack the (dep | hdxb) obs table into bf16 PAIRS bitcast as float32:
+    TPU gathers are element-count bound (~850M elem/s measured on v5e
+    regardless of layout), so halving the element count halves the
+    dominant per-level gather cost. hdxb at bf16 carries ~0.4% of the
+    H(x)-perturbation magnitude — the same transport precision the tiled
+    executors already use for state perturbations (da/letkf_tiled.py).
+
+    Returns (ceil((1+K)/2), nobs) float32 (bitcast bf16 pairs). The pair
+    axis LEADS so the per-level gather's minor dimension is the (large)
+    selection axis — a (B·L, P/2) layout would lane-pad P/2 → 128, a ~5x
+    HBM blowup that OOMs the 18-km tile program."""
+    K = ensval_pert.shape[-1]
+    tab = jnp.concatenate([dep[:, None], ensval_pert],
+                          axis=1).astype(jnp.bfloat16)
+    if (1 + K) % 2:
+        tab = jnp.pad(tab, ((0, 0), (0, 1)))
+    n, p = tab.shape
+    packed = jax.lax.bitcast_convert_type(
+        tab.reshape(n, p // 2, 2), jnp.float32)    # (nobs, P/2)
+    return packed.T                                # (P/2, nobs)
+
+
+def gather_obs_data_packed(
+    idx: jax.Array,          # (B, L) selected obs ids, -1 pad
+    packed: jax.Array,       # (P/2, nobs) float32 from pack_obs_table
+    K: int,
+) -> tuple[jax.Array, jax.Array]:
+    """gather_obs_data over the bf16-packed table: ONE row gather of half
+    the elements, then bitcast/unpack. Returns (dep (B,L), hdxb (B,L,K))
+    in float32 with zero padding."""
+    if packed.shape[-1] == 0:
+        return (jnp.zeros(idx.shape, jnp.float32),
+                jnp.zeros(idx.shape + (K,), jnp.float32))
+    valid = (idx >= 0)[..., None]
+    safe = jnp.maximum(idx, 0)
+    rows = packed[:, safe]                         # (P/2, B, L)
+    un = jax.lax.bitcast_convert_type(rows, jnp.bfloat16)  # (P/2, B, L, 2)
+    # pair c holds table entries (2c, 2c+1): (P/2, B, L, 2) → (B, L, P)
+    un = jnp.moveaxis(un, 0, 2)                    # (B, L, P/2, 2)
+    un = un.reshape(un.shape[:2] + (2 * rows.shape[0],))
+    d = jnp.where(valid[..., 0], un[..., 0].astype(jnp.float32), 0.0)
+    h = jnp.where(valid, un[..., 1:1 + K].astype(jnp.float32), 0.0)
+    return d, h
 
 
 def gather_obs_data(

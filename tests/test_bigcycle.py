@@ -228,7 +228,9 @@ def test_streamed_4d_slots_matches_incore():
     from scale_letkf_tpu.cli.main import slot_steps_from_cfg
     from scale_letkf_tpu.da.obsope import assign_slots
 
-    grid, cfg, driver, ens, obs = _setup(K=4, core="explicit")
+    # SI core: the explicit core at this dt/dz is past the vertical
+    # acoustic CFL, so the beyond-window slot steps amplify roundoff
+    grid, cfg, driver, ens, obs = _setup(K=4, core="si")
     cfg.obsope.slot_start, cfg.obsope.slot_end = 1, 3
     cfg.obsope.slot_base = 2
     cfg.obsope.slot_tinterval = 4.0       # = 2 steps at dt=2
