@@ -382,13 +382,17 @@ def main():
         result["da_cycle"] = f"skipped(budget: {_remaining():.0f}s left)"
         cpu_cycle_proc.kill()
 
-    # flagship configs at reference size (no domain_overrides) — each needs
-    # many minutes of device + tunnel-transfer time; run only with generous
-    # leftover budget (raise BENCH_BUDGET_S to include them; round-3
-    # builder-measured numbers are recorded in BASELINE.md)
+    # flagship configs at reference size (no domain_overrides) via the
+    # DEVICE-RESIDENT executor (da/resident.py): the ensemble is generated
+    # and analyzed entirely in HBM, so the estimates are device-compute
+    # bound (warm persistent compile cache; radar measured 55 s warm /
+    # ~250 s cold, 18-km 255 s warm / ~420 s cold on v5e)
     full = {}
-    for key, fn_name, est in (("radar_1km", "bench_radar_analysis", 600),
-                              ("japan_18km", "bench_18km_analysis", 1200)):
+    # 18-km FIRST: it has never appeared in a driver artifact (radar
+    # landed in BENCH_r04), so it gets the budget priority
+    for key, fn_name, est in (
+            ("japan_18km", "bench_18km_analysis_resident", 400),
+            ("radar_1km", "bench_radar_analysis_resident", 170)):
         if _remaining() < est:
             full[key] = f"skipped(budget: {_remaining():.0f}s left < {est}s)"
             continue
@@ -397,9 +401,11 @@ def main():
             import scale_letkf_tpu.bench_fullsize as bf
             full[key] = getattr(bf, fn_name)()
             signal.alarm(0)
+            _note(f"full_size {key}: done")
         except Exception as e:
             signal.alarm(0)
             full[key] = _err_str(e)
+            _note(f"full_size {key} FAILED: {_err_str(e)}")
     result["full_size"] = full
 
     # make sure the stray CPU headline subprocess is reaped

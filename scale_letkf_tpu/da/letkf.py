@@ -246,7 +246,16 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
         obs_vert, obs_err = repl(obs_vert), repl(obs_err)
         dep_g, hdxb_g = repl(dep_g), repl(hdxb_g)
         depd_g = repl(depd_g)
-        use_packed = plan.bf16_gather and dtype == jnp.float32
+        # expected post-top-k selection width (static): the packed gather
+        # only wins when the per-level gather is large enough to be
+        # element-count bound (small fused cycles are launch-bound and the
+        # pack/bitcast overhead costs time)
+        L_tot = sum(
+            (min(cp.max_nobs, cand[ic].shape[-1]) if cp.max_nobs > 0
+             else cand[ic].shape[-1])
+            for ic, cp in enumerate(plan.ctypes)) if plan.ctypes else 1
+        use_packed = (plan.bf16_gather and dtype == jnp.float32
+                      and B * L_tot * (K + 1) >= 3e7)
         packed_g = pack_obs_table(dep_g, hdxb_g) if use_packed else None
         pert_det_zvb = gp_in(pert_det_zvb)
         mean_det_zvb = gp_in(mean_det_zvb)

@@ -276,7 +276,11 @@ def limit_obs_topk(
     # lane-wise gathers (xprof-measured); the sort moves the payload rows
     # natively. Ascending by score (best first), bad slots pushed to the
     # end by +inf.
-    if obs_err is not None:
+    # The 2-payload path only wins when the sort is wide enough to
+    # dominate — at narrow candidate tables the extra (B, L) err gather
+    # is launch-bound and COSTS time (measured: the 48x48x16 fused cycle
+    # regressed 0.10 -> 0.24 s/cycle before this gate).
+    if obs_err is not None and cand_idx.shape[-1] >= 512:
         score_s, idx_s = jax.lax.sort(
             (score, cand_idx), dimension=-1, num_keys=1, is_stable=False)
         score_k = score_s[..., :k]
