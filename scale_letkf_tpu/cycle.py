@@ -228,23 +228,42 @@ class CycleDriver:
         if halo_mode not in ("gspmd", "explicit", "explicit_overlap"):
             raise ValueError(f"unknown halo backend {halo_mode!r}")
         if halo_mode != "gspmd":
-            if core != "explicit" or self.metrics is not None:
+            if core not in ("explicit", "si"):
                 raise NotImplementedError(
-                    "halo='explicit*' supports the explicit core without "
-                    "terrain metrics (SI/terrain use the GSPMD path)")
+                    f"halo='explicit*' supports the explicit and SI cores "
+                    f"(got core={core!r})")
+            if core == "explicit" and self.metrics is not None:
+                raise NotImplementedError(
+                    "halo='explicit*' with terrain requires core='si' "
+                    "(tendencies_terrain rides the SI halo step)")
             if use_physics or phys_cfg is not None:
+                # the physics suite's column schemes are halo-free but its
+                # composition with the per-stage exchange is untested —
+                # documented exclusion (physics runs on the GSPMD path)
                 raise NotImplementedError(
                     "halo='explicit*' does not compose with physics yet")
             if mesh is None:
                 raise ValueError("halo='explicit*' requires a device mesh")
 
         def fcst_ens_halo(ens, nsteps, t0, bdy=None):
-            from scale_letkf_tpu.parallel.halo import rk3_step_halo_ens
+            from scale_letkf_tpu.parallel.halo import (
+                rk3_step_halo_ens, rk3_step_si_halo_ens)
+            if core == "si":
+                from scale_letkf_tpu.model.dycore_si import SplitConfig
+                split = SplitConfig(dtau=dycfg.dt / n_small)
 
             def body(c, i):
-                c = rk3_step_halo_ens(
-                    c, dycfg, rho_ref, p_ref, self.z_centers, self.mesh,
-                    vg=self.vg, overlap=(halo_mode == "explicit_overlap"))
+                if core == "si":
+                    c = rk3_step_si_halo_ens(
+                        c, dycfg, split, rho_ref, p_ref, self.z_centers,
+                        self.mesh, n_small, vg=self.vg,
+                        metrics=self.metrics,
+                        overlap=(halo_mode == "explicit_overlap"))
+                else:
+                    c = rk3_step_halo_ens(
+                        c, dycfg, rho_ref, p_ref, self.z_centers,
+                        self.mesh, vg=self.vg,
+                        overlap=(halo_mode == "explicit_overlap"))
                 if self._bdy_w2d is not None and bdy is not None:
                     t = t0 + (i.astype(jnp.float32) + 1.0) * jnp.float32(
                         dycfg.dt)

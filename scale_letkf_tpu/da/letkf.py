@@ -208,6 +208,19 @@ def _build_analysis_fn(plan: _Plan, mesh: Mesh | None):
         ch = plan.level_chunk
         nzc = nz // ch if ch > 1 else nz
         B0 = B
+        if ch > 1 and mesh is not None:
+            # replicate before the chunk reshapes: merging part of the
+            # (sharded) level axis into the gridpoint axis otherwise
+            # triggers GSPMD's involuntary-full-rematerialization fallback
+            # on the transposes (chunking only activates on SMALL domains,
+            # so the all-gather is over tiny tensors; the production
+            # full-size paths run ch == 1)
+            (pert_zkvb, mean_zvb, infl0_zb, logp_zb, z_zb, gp_x, gp_y,
+             dist_bdy) = map(repl, (pert_zkvb, mean_zvb, infl0_zb,
+                                    logp_zb, z_zb, gp_x, gp_y, dist_bdy))
+            cand = tuple(repl(c) for c in cand)
+            pert_det_zvb = repl(pert_det_zvb)
+            mean_det_zvb = repl(mean_det_zvb)
         if ch > 1:
             def m_zkvb(a):       # (nz,K,nv,B) → (nzc,K,nv,ch·B)
                 a = a.reshape(nzc, ch, K, nv, B0)

@@ -233,6 +233,267 @@ def rk3_step_halo(s: DycoreState, cfg: DycoreConfig, rho_ref, p_ref,
     return step(s)
 
 
+def _ext1(a, periodic):
+    """Halo-1 extension of (..., ny, nx) in both horizontal axes."""
+    a = exchange_axis(a, a.ndim - 2, AXIS_DY, 1, periodic)
+    return exchange_axis(a, a.ndim - 1, AXIS_DX, 1, periodic)
+
+
+def _xp1(ae):
+    return ae[..., 1:-1, 2:]
+
+
+def _xm1(ae):
+    return ae[..., 1:-1, :-2]
+
+
+def _yp1(ae):
+    return ae[..., 2:, 1:-1]
+
+
+def _ym1(ae):
+    return ae[..., :-2, 1:-1]
+
+
+def _zs(a, sl):
+    """Slice the z axis (axis -3) with leading batch dims intact."""
+    return a[(Ellipsis, sl) + (slice(None), slice(None))]
+
+
+def _acoustic_substeps_halo(s_start, s_stage, slow, cfg, split, n_steps,
+                            dt_stage, periodic, vg=None):
+    """Per-shard acoustic substeps with halo-1 ppermute exchanges where
+    the in-core version rolls (model/dycore_si.py acoustic_substeps): the
+    pressure gradient needs dp at i+1/j+1 and the mass/theta divergence
+    needs the UPDATED momenta at i-1/j-1 — one packed exchange each per
+    substep, the communication pattern of every split-explicit core
+    (the reference's COMM per acoustic small step). z stays column-local
+    (the implicit solve needs no halo). Leading member axes batch through
+    the exchanges (members ride the same packed buffers)."""
+    from scale_letkf_tpu.constants import RD, CVDRY, GRAV
+    CPDRY_ = RD + CVDRY
+    dx, dy, dz = cfg.dx, cfg.dy, cfg.dz
+    dzc = dz if vg is None else vg.dzc
+    dzf = dz if vg is None else vg.dzf
+    dtau = dt_stage / n_steps
+    beta = split.beta
+
+    from scale_letkf_tpu.model.dycore import moist_pressure
+    rho0 = s_stage.rho
+    rhot0 = s_stage.rhot
+
+    def _c2_of(rho, rhot, rhoq):
+        q = rhoq / jnp.maximum(rho, 1e-10)[None]
+        p0 = moist_pressure(rhot, q)
+        return (CPDRY_ / CVDRY) * p0 / rhot
+
+    # moist_pressure is written for (nq, nz, ny, nx); vmap leading member
+    c2 = (jax.vmap(_c2_of)(rho0, rhot0, s_stage.rhoq)
+          if rho0.ndim == 4 else _c2_of(rho0, rhot0, s_stage.rhoq))
+    theta0 = rhot0 / rho0
+    theta_face = jnp.concatenate(
+        [_zs(theta0, slice(0, 1)),
+         0.5 * (_zs(theta0, slice(1, None)) + _zs(theta0, slice(0, -1))),
+         _zs(theta0, slice(-1, None))], axis=-3)
+
+    # halo-extended static per-stage fields: theta at x/y faces (used with
+    # the shifted momenta inside the divergence)
+    th_e = _ext1(theta0, periodic)
+    theta_xf = 0.5 * (theta0 + _xp1(th_e))
+    theta_yf = 0.5 * (theta0 + _yp1(th_e))
+    theta_xf_e = _ext1(theta_xf, periodic)
+    theta_yf_e = _ext1(theta_yf, periodic)
+
+    g_half = dtau * beta * GRAV * 0.5
+    abf = dtau * beta / dzf
+    abc = dtau * beta / dzc
+    if vg is None:
+        abc_up = abc_dn = abc
+    else:
+        abc_up = abc[1:]
+        abc_dn = abc[:-1]
+
+    c2_up = _zs(c2, slice(1, None))
+    c2_dn = _zs(c2, slice(0, -1))
+    tf_mid = _zs(theta_face, slice(1, -1))
+    tf_up = _zs(theta_face, slice(2, None))
+    tf_dn = _zs(theta_face, slice(0, -2))
+    b_diag = (1.0 + abf * tf_mid * (c2_up * abc_up + c2_dn * abc_dn)
+              + g_half * (abc_up - abc_dn))
+    c_sup = -abf * c2_up * abc_up * tf_up - g_half * abc_up
+    a_sub = -abf * c2_dn * abc_dn * tf_dn + g_half * abc_dn
+    if vg is None:
+        b_diag = b_diag * jnp.ones_like(tf_mid)
+        c_sup = c_sup * jnp.ones_like(tf_mid)
+        a_sub = a_sub * jnp.ones_like(tf_mid)
+
+    from scale_letkf_tpu.model.dycore_si import _thomas_solve
+
+    def tri_solve(a, b, c, d):
+        """Thomas along axis -3 with leading batch dims: move z to front
+        and flatten the rest (the scan carries a full-plane vector op)."""
+        mz = lambda x: jnp.moveaxis(x, -3, 0)
+        uz = lambda x: jnp.moveaxis(x, 0, -3)
+        return uz(_thomas_solve(mz(a), mz(b), mz(c), mz(d)))
+
+    def substep(carry, _):
+        drho, drhou, drhov, drhow, drhot = carry
+        dp = c2 * drhot
+        dpe = _ext1(dp, periodic)
+        gx = (_xp1(dpe) - dp) / dx
+        gy = (_yp1(dpe) - dp) / dy
+        drhou = drhou + dtau * (-gx + slow.rhou)
+        drhov = drhov + dtau * (-gy + slow.rhov)
+
+        ue = _ext1(drhou, periodic)
+        ve = _ext1(drhov, periodic)
+        div_h = ((drhou - _xm1(ue)) / dx + (drhov - _ym1(ve)) / dy)
+        u_th = drhou * theta_xf
+        v_th = drhov * theta_yf
+        u_th_m1 = _xm1(ue) * _xm1(theta_xf_e)
+        v_th_m1 = _ym1(ve) * _ym1(theta_yf_e)
+        div_h_th = ((u_th - u_th_m1) / dx + (v_th - v_th_m1) / dy)
+
+        w_old = drhow
+        dflux_w = (_zs(w_old, slice(1, None))
+                   - _zs(w_old, slice(0, -1))) / dzc
+        wth_old = w_old * theta_face
+        dflux_wth = (_zs(wth_old, slice(1, None))
+                     - _zs(wth_old, slice(0, -1))) / dzc
+        rho_exp = drho + dtau * (slow.rho - div_h) \
+            - dtau * (1 - beta) * dflux_w
+        rhot_exp = drhot + dtau * (slow.rhot - div_h_th) \
+            - dtau * (1 - beta) * dflux_wth
+
+        dp_z = (_zs(dp, slice(1, None)) - _zs(dp, slice(0, -1))) / dzf
+        rho_face_old = 0.5 * (_zs(drho, slice(1, None))
+                              + _zs(drho, slice(0, -1)))
+        d_rhs = (_zs(w_old, slice(1, -1))
+                 + dtau * _zs(slow.rhow, slice(1, -1))
+                 - dtau * (1 - beta) * (dp_z + GRAV * rho_face_old)
+                 - abf * (c2_up * _zs(rhot_exp, slice(1, None))
+                          - c2_dn * _zs(rhot_exp, slice(0, -1)))
+                 - g_half * (_zs(rho_exp, slice(1, None))
+                             + _zs(rho_exp, slice(0, -1))))
+
+        w_new_int = tri_solve(a_sub, b_diag, c_sup, d_rhs)
+        zeros = jnp.zeros_like(_zs(drhow, slice(0, 1)))
+        w_new = jnp.concatenate([zeros, w_new_int, zeros], axis=-3)
+
+        drho = rho_exp - abc * (_zs(w_new, slice(1, None))
+                                - _zs(w_new, slice(0, -1)))
+        wth_new = w_new * theta_face
+        drhot = rhot_exp - abc * (_zs(wth_new, slice(1, None))
+                                  - _zs(wth_new, slice(0, -1)))
+        return (drho, drhou, drhov, w_new, drhot), None
+
+    init = (s_start.rho - rho0, s_start.rhou - s_stage.rhou,
+            s_start.rhov - s_stage.rhov, s_start.rhow - s_stage.rhow,
+            s_start.rhot - rhot0)
+    (drho, drhou, drhov, drhow, drhot), _ = jax.lax.scan(
+        substep, init, None, length=n_steps)
+
+    rhoq = s_start.rhoq + dt_stage * slow.rhoq
+    return DycoreState(rho=rho0 + drho, rhou=s_stage.rhou + drhou,
+                       rhov=s_stage.rhov + drhov,
+                       rhow=s_stage.rhow + drhow,
+                       rhot=rhot0 + drhot, rhoq=rhoq)
+
+
+def _extend_metrics(m, h, periodic):
+    """Halo-extend the (time-invariant) terrain metrics once per step."""
+    if m is None:
+        return None
+    from scale_letkf_tpu.model.terrain import TerrainMetrics
+
+    def _extnh(a):
+        a = exchange_axis(a, a.ndim - 2, AXIS_DY, h, periodic)
+        return exchange_axis(a, a.ndim - 1, AXIS_DX, h, periodic)
+
+    return TerrainMetrics(
+        jac=_extnh(m.jac[None])[0],
+        gx=_extnh(m.gx),
+        gy=_extnh(m.gy),
+        gx_zf=_extnh(m.gx_zf),
+        gy_zf=_extnh(m.gy_zf))
+
+
+def rk3_step_si_halo_ens(ens: DycoreState, cfg: DycoreConfig, split,
+                         rho_ref, p_ref, z_center, mesh: Mesh,
+                         n_small: int, vg=None, metrics=None,
+                         overlap: bool = False) -> DycoreState:
+    """Split-explicit (HEVI) RK3 step with explicit halo exchange under
+    shard_map — the production core's COMM_vars8 equivalent (SURVEY §2.8
+    item 4; reference common_scale.f90:1385-1397). Slow tendencies run on
+    an h=4 extended block (optionally with the interior/edge-band OVERLAP
+    decomposition); each acoustic substep does halo-1 packed exchanges;
+    the vertical implicit solve is column-local. Terrain metrics are
+    halo-extended once per step. Physics stays on the GSPMD path
+    (cycle.py documents the exclusion)."""
+    from scale_letkf_tpu.parallel.mesh import AXIS_MEMBER
+    from scale_letkf_tpu.model.dycore_si import SplitConfig  # noqa: F401
+    periodic = cfg.lateral == "periodic"
+    h = HALO_W
+    spec5 = P(AXIS_MEMBER, None, AXIS_DY, AXIS_DX)
+    spec6 = P(AXIS_MEMBER, None, None, AXIS_DY, AXIS_DX)
+    state_specs = DycoreState(rho=spec5, rhou=spec5, rhov=spec5,
+                              rhow=spec5, rhot=spec5, rhoq=spec6)
+    if metrics is not None:
+        from scale_letkf_tpu.model.terrain import TerrainMetrics
+        sp3 = P(None, AXIS_DY, AXIS_DX)
+        m_specs = TerrainMetrics(jac=P(AXIS_DY, AXIS_DX), gx=sp3, gy=sp3,
+                                 gx_zf=sp3, gy_zf=sp3)
+        in_specs = (state_specs, m_specs)
+    else:
+        in_specs = (state_specs,)
+
+    ns1 = max(1, n_small // 3)
+    ns2 = max(1, n_small // 2)
+    dt = cfg.dt
+
+    def make_step(with_metrics):
+        def step(s_loc, *m_arg):
+            from scale_letkf_tpu.model.dycore import lateral_bc
+            m_ext = (_extend_metrics(m_arg[0], h, periodic)
+                     if with_metrics else None)
+
+            def tend_on(block):
+                with lateral_bc("periodic"):
+                    if m_ext is not None:
+                        from scale_letkf_tpu.model.terrain import (
+                            tendencies_terrain)
+                        return jax.vmap(
+                            lambda b: tendencies_terrain(
+                                b, cfg, rho_ref, p_ref, m_ext, vg=vg))(block)
+                    return jax.vmap(
+                        lambda b: tendencies(b, cfg, rho_ref, p_ref,
+                                             vg))(block)
+
+            def slow_of(s_from):
+                return crop_state(tend_on(extend_state(s_from, h, periodic)),
+                                  h)
+
+            def stage(s_from, dt_stage, ns):
+                slow = slow_of(s_from)
+                return _acoustic_substeps_halo(
+                    s_loc, s_from, slow, cfg, split, ns, dt_stage,
+                    periodic, vg=vg)
+
+            s1 = stage(s_loc, dt / 3.0, ns1)
+            s2 = stage(s1, dt / 2.0, ns2)
+            s3 = stage(s2, dt, n_small)
+            return rayleigh_sponge(s3, s_loc, cfg, z_center, dt)
+        return step
+
+    if metrics is not None:
+        stepped = partial(shard_map, mesh=mesh, in_specs=in_specs,
+                          out_specs=state_specs)(make_step(True))
+        return stepped(ens, metrics)
+    stepped = partial(shard_map, mesh=mesh, in_specs=in_specs,
+                      out_specs=state_specs)(make_step(False))
+    return stepped(ens)
+
+
 def rk3_step_halo_ens(ens: DycoreState, cfg: DycoreConfig, rho_ref, p_ref,
                       z_center, mesh: Mesh, vg=None,
                       overlap: bool = False) -> DycoreState:

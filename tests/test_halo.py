@@ -177,3 +177,57 @@ def test_halo_step_ensemble_member_axis():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-6, atol=3e-4,
                                    err_msg=f"field {name}")
+
+
+def test_si_halo_backend_matches_gspmd():
+    """SI (HEVI) core + stretched vertical + TERRAIN under the explicit
+    halo backend equals the GSPMD path on the 8-device mesh — the
+    PRODUCTION core composition (SURVEY §2.8 item 4: COMM_vars8-style
+    exchange; the acoustic substeps exchange halo-1 per small step like
+    the reference's per-substep COMM)."""
+    import time
+    from scale_letkf_tpu.config import Config, EnsembleConfig
+    from scale_letkf_tpu.grid import Grid, Projection
+    from scale_letkf_tpu.cycle import CycleDriver
+    from scale_letkf_tpu.model.ideal import perturb_ensemble
+    from scale_letkf_tpu.parallel.mesh import shard_ensemble
+
+    K = 4
+    mesh = make_mesh(2, 2, 2)
+    grid = Grid.stretched(nx=NX, ny=NY, nz=NZ, dx=DX, dy=DY, dz0=DZ,
+                          stretch=1.05, proj=Projection(kind="LC"))
+    cfg = Config(ensemble=EnsembleConfig(member=K))
+    qv = 0.006 * np.exp(-np.asarray(grid.cz) / 3000.0)
+    s, rho_ref, p_ref = balanced_state(NZ, NY, NX, DZ, qv_prof=qv,
+                                       cz=grid.cz)
+    s = add_warm_bubble(s, DZ, DX, DY, amplitude=2.0)
+    ens = perturb_ensemble(jax.random.PRNGKey(3), s, K, amplitude=0.5)
+    xg, yg = np.meshgrid(np.arange(NX), np.arange(NY))
+    topo = 120.0 * np.exp(-(((xg - NX / 2) / 3.0) ** 2
+                            + ((yg - NY / 2) / 3.0) ** 2))
+
+    times = {}
+    outs = {}
+    for halo in ("gspmd", "explicit", "explicit_overlap"):
+        dycfg = DycoreConfig(dx=DX, dy=DY, dz=DZ, dt=4.0, ztop=grid.ztop,
+                             sponge_height=0.8 * grid.ztop,
+                             sponge_tau=60.0, halo=halo)
+        d = CycleDriver(grid, cfg, dycfg, rho_ref, p_ref, mesh=mesh,
+                        core="si", n_small=4, topo=topo)
+        e = shard_ensemble(mesh, ens)
+        out = d.forecast(e, 2)            # includes compile
+        t0 = time.perf_counter()
+        out = d.forecast(out, 2)
+        times[halo] = time.perf_counter() - t0
+        outs[halo] = jax.device_get(out)
+    print(f"SI halo backend step times (8 virtual devices): {times}")
+    for halo in ("explicit", "explicit_overlap"):
+        for name, a, b in zip(outs["gspmd"]._fields, outs["gspmd"],
+                              outs[halo]):
+            # mismatches are scattered (not shard-boundary) f32
+            # op-reordering roundoff accumulated over the acoustic
+            # substeps; same tolerance class as the explicit-core test
+            scale = max(np.abs(np.asarray(a)).max(), 1e-6)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=3e-5, atol=1e-4 * scale,
+                                       err_msg=f"{halo}: field {name}")
