@@ -128,6 +128,9 @@ class ResidentCycle:
         self.tile_rows = tile_rows
         self.verbose = verbose
         self._jit_cache = {}
+        # per-obs departures from the latest monitored cycle
+        self.last_ctx = None
+        self.last_oma = None
 
     @property
     def _has_phys(self):
@@ -345,6 +348,13 @@ class ResidentCycle:
             oma = ctx.dat - y_a
             report["stats_anal"] = monit_dep(ctx.elem, oma, ctx.qc)
             report["monitor_s"] = time.time() - tt
+            # per-obs departures for callers needing subset stats (4-D
+            # windows: the O-A monitor is 3-D at analysis time — the
+            # reference's monit semantics — so off-center slots mix
+            # time-displacement into O-A; the center-slot subset is the
+            # time-consistent comparison)
+            self.last_ctx = ctx
+            self.last_oma = oma
         report["total_s"] = time.time() - total0
         return report
 
