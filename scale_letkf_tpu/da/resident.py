@@ -122,11 +122,15 @@ class ResidentCycle:
     """Full-size cycle executor with the ensemble resident in HBM."""
 
     def __init__(self, driver, member_batch: int = 5, tile_rows: int = 24,
-                 verbose: bool = False):
+                 verbose: bool = False, max_steps_per_call: int = 60):
         self.d = driver
         self.member_batch = member_batch
         self.tile_rows = tile_rows
         self.verbose = verbose
+        # upper bound on integration steps per device call: one XLA
+        # execution spanning the whole 720-step window (~6 min on-device)
+        # crashed the TPU worker (runtime watchdog)
+        self.max_steps_per_call = max_steps_per_call
         self._jit_cache = {}
         # per-obs departures from the latest monitored cycle
         self.last_ctx = None
@@ -140,7 +144,13 @@ class ResidentCycle:
     # forecast phase
     # ------------------------------------------------------------------
 
-    def _fcst_program(self, obs: Observations, nsteps: int, b: int):
+    def _fcst_programs(self, obs: Observations, nsteps: int, b: int):
+        """Per-batch forecast pieces. The window is integrated as a CHAIN
+        of bounded device calls (≤ max_steps_per_call steps each, state
+        staying device-resident between calls) instead of one monolithic
+        program: a single XLA execution covering the full 720-step 18-km
+        window (~6 min on-device) crashed the TPU worker (runtime
+        watchdog); chunked calls also make progress observable."""
         import jax
         import jax.numpy as jnp
         from scale_letkf_tpu.state import (
@@ -162,22 +172,7 @@ class ResidentCycle:
         self._in_window = in_window
         has_phys = self._has_phys
 
-        def seg(state, tsfc, n, t0c, bdy):
-            if has_phys:
-                return d._fcst_ens_phys_raw(state, n, t0c, tsfc, bdy)
-            return d._fcst_ens_raw(state, n, t0c, bdy), tsfc
-
-        def member_fields(gues_k, tsfc_k):
-            if tsfc_k is None:
-                return jax.vmap(
-                    lambda g: state_to_history(g, d.z_full, d.topo))(gues_k)
-            return jax.vmap(
-                lambda g, ts: state_to_history(g, d.z_full, d.topo,
-                                               tsfc=ts))(gues_k, tsfc_k)
-
-        def fcst_batch(dev, accum, tsfc_buf, mean0, i0, t0, bdy):
-            """One member batch: slice → prognostic → integrate (+ slot
-            H(x)) → write analysis-variable deviations back in place."""
+        def start(dev, tsfc_buf, mean0, i0):
             d_b = jax.lax.dynamic_slice_in_dim(dev, i0, b, axis=0)
             anal_b = mean0[None] + d_b.astype(jnp.float32)
             state = jax.vmap(from_collocated)(state_trans_inv(
@@ -185,30 +180,62 @@ class ResidentCycle:
                 positive_definite_q=d.cfg.letkf.positive_definite_q,
                 positive_definite_qhyd=d.cfg.letkf.positive_definite_qhyd))
             if has_phys:
-                tsfc = jax.lax.dynamic_slice_in_dim(tsfc_buf, i0, b, axis=0)
+                tsfc = jax.lax.dynamic_slice_in_dim(tsfc_buf, i0, b,
+                                                    axis=0)
             else:
-                tsfc = None
-            y = jnp.zeros((b, obs.nobs))
-            qc = jnp.zeros((b, obs.nobs), jnp.int32)
-            cur = 0
-            gues_out = None
-            for pt, obs_s, midx, n_real in parts:
-                if pt > cur:
-                    state, tsfc = seg(state, tsfc, pt - cur,
-                                      t0 + jnp.float32(cur * dt), bdy)
-                    cur = pt
-                snap = state_trans(jax.vmap(to_collocated)(state))
-                if pt == nsteps:
-                    gues_out = snap
-                if obs_s is not None:
-                    fields = member_fields(snap, tsfc)
+                tsfc = jnp.zeros((1,), jnp.float32)
+            return state, tsfc
+
+        seg_cache = {}
+
+        def seg_jit(n):
+            if n not in seg_cache:
+                def advance(state, tsfc, t0c, bdy):
+                    if has_phys:
+                        return d._fcst_ens_phys_raw(state, n, t0c, tsfc,
+                                                    bdy)
+                    return d._fcst_ens_raw(state, n, t0c, bdy), tsfc
+                seg_cache[n] = jax.jit(
+                    advance, donate_argnums=(0,) if _donate() else ())
+            return seg_cache[n]
+
+        hx_cache = {}
+
+        def hx_jit(part_i):
+            """Slot-matched H(x) of the CURRENT state for part part_i."""
+            if part_i not in hx_cache:
+                obs_s = parts[part_i][1]
+
+                midx = parts[part_i][2]
+                n_real = parts[part_i][3]
+
+                def hx(state, tsfc, y_dev, qc_dev):
+                    snap = state_trans(jax.vmap(to_collocated)(state))
+                    if has_phys:
+                        fields = jax.vmap(
+                            lambda g, ts: state_to_history(
+                                g, d.z_full, d.topo, tsfc=ts))(snap, tsfc)
+                    else:
+                        fields = jax.vmap(
+                            lambda g: state_to_history(
+                                g, d.z_full, d.topo))(snap)
                     y_s, qc_s = jax.vmap(
                         lambda f: compute_hx_single(f, obs_s, d.grid,
                                                     d.cfg, d.z_full))(
                         fields)
                     idx = jnp.asarray(midx)
-                    y = y.at[:, idx].set(y_s[:, :n_real])
-                    qc = qc.at[:, idx].set(qc_s[:, :n_real])
+                    y_dev = y_dev.at[:, idx].set(y_s[:, :n_real])
+                    qc_dev = qc_dev.at[:, idx].set(qc_s[:, :n_real])
+                    return y_dev, qc_dev
+                hx_cache[part_i] = jax.jit(
+                    hx, donate_argnums=(2, 3) if _donate() else ())
+            return hx_cache[part_i]
+
+        def finalize(dev, accum, tsfc_buf, state, tsfc, mean0, i0):
+            """Write the analysis-time deviations + slab state in place
+            (called when the integration reaches nsteps, BEFORE any
+            beyond-window slot segments)."""
+            gues_out = state_trans(jax.vmap(to_collocated)(state))
             accum = accum + jnp.sum(gues_out, axis=0)
             dev = jax.lax.dynamic_update_slice_in_dim(
                 dev, (gues_out - mean0[None]).astype(dev.dtype), i0,
@@ -216,12 +243,18 @@ class ResidentCycle:
             if has_phys:
                 tsfc_buf = jax.lax.dynamic_update_slice_in_dim(
                     tsfc_buf, tsfc, i0, axis=0)
-            return dev, accum, tsfc_buf, y, qc.max(axis=0)
+            return dev, accum, tsfc_buf
 
         donate = (0, 1, 2) if _donate() else ()
-        prog = jax.jit(fcst_batch, donate_argnums=donate)
-        self._jit_cache[key] = prog
-        return prog
+        progs = {
+            "parts": parts,
+            "start": jax.jit(start),
+            "seg": seg_jit,
+            "hx": hx_jit,
+            "finalize": jax.jit(finalize, donate_argnums=donate),
+        }
+        self._jit_cache = {key: progs}    # latest (obs, nsteps) only
+        return progs
 
     def forecast_and_hx(self, ens: ResidentEnsemble, nsteps: int,
                         obs: Observations, t0: float = 0.0):
@@ -235,7 +268,10 @@ class ResidentCycle:
         d = self.d
         K = ens.K
         b = _batch_of(K, self.member_batch)
-        prog = self._fcst_program(obs, nsteps, b)
+        progs = self._fcst_programs(obs, nsteps, b)
+        parts = progs["parts"]
+        chunk = max(1, int(self.max_steps_per_call))
+        dt_model = d.dycfg.dt
         t = {"fcst_s": 0.0, "fcst_compile_s": 0.0, "batches": K // b}
 
         if self._has_phys and ens.tsfc is None:
@@ -266,11 +302,29 @@ class ResidentCycle:
         for i0 in range(0, K, b):
             tt = time.time()
             bdy = bdy_batch(d, i0, b) if per_member_bdy else bdy_full
-            ens.dev, accum, tsfc_buf, y_b, qc_b = prog(
-                ens.dev, accum, tsfc_buf, mean0, jnp.int32(i0),
-                jnp.float32(t0), bdy)
-            ys.append(y_b)
-            qc_worst = np.maximum(qc_worst, np.asarray(qc_b))
+            state, tsfc = progs["start"](ens.dev, tsfc_buf, mean0,
+                                         jnp.int32(i0))
+            y_dev = jnp.zeros((b, obs.nobs), jnp.float32)
+            qc_dev = jnp.zeros((b, obs.nobs), jnp.int32)
+            cur = 0
+            for pi, (pt, obs_s, midx, n_real) in enumerate(parts):
+                while cur < pt:
+                    n = min(chunk, pt - cur)
+                    state, tsfc = progs["seg"](n)(
+                        state, tsfc, jnp.float32(t0 + cur * dt_model),
+                        bdy)
+                    cur += n
+                if pt == nsteps:
+                    # analysis-time write-back (beyond-window slot
+                    # segments must not touch the stored guess/slab state)
+                    ens.dev, accum, tsfc_buf = progs["finalize"](
+                        ens.dev, accum, tsfc_buf, state, tsfc, mean0,
+                        jnp.int32(i0))
+                if obs_s is not None:
+                    y_dev, qc_dev = progs["hx"](pi)(state, tsfc, y_dev,
+                                                    qc_dev)
+            ys.append(y_dev)
+            qc_worst = np.maximum(qc_worst, np.asarray(qc_dev.max(axis=0)))
             dt_w = time.time() - tt
             if i0 == 0:
                 t["fcst_compile_s"] = dt_w
