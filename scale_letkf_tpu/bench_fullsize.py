@@ -85,7 +85,16 @@ def _load_cfg(path, overrides=None):
     return load_config_and_grid(path, domain_overrides=overrides)
 
 
-def _synthetic_resident_gues(seed, K, grid, batch=10):
+def _synthetic_resident_gues(seed, K, grid, batch=10, t_offset=0.0,
+                             smooth_strides=(1,)):
+    """smooth_strides=(1,) reproduces the classic 2-pass 1-2-1 noise
+    (correlation ~2 cells). Longer stride sets build SYNOPTIC-scale
+    perturbations (multigrid smoothing, renormalized to the nominal
+    amplitude) whose spatial degrees of freedom a K~50 ensemble can
+    actually span — required for assimilation-impact OSSEs: with ~2-cell
+    noise a localization volume holds hundreds of dofs and the ensemble
+    subspace captures only a few percent of any truth error, so even a
+    perfect LETKF cannot correct it."""
     """Device-generated synthetic analysis-variable ensemble in the
     RESIDENT (f32 mean + bf16 deviation) layout — the state never crosses
     the host↔device link. Matches _synthetic_gues's construction
@@ -103,7 +112,7 @@ def _synthetic_resident_gues(seed, K, grid, batch=10):
     t_prof = (300.0 - 0.0065 * cz).astype(np.float32)
     p_prof = (1.0e5 * np.exp(-GRAV * cz / (RD * 280.0))).astype(np.float32)
     prof = np.zeros((NV3D, nz), np.float32)
-    prof[IA_T] = t_prof
+    prof[IA_T] = t_prof + t_offset
     prof[IA_P] = p_prof
     prof[IA_U] = 5.0
     prof[IA_Q0] = 1e-3
@@ -125,10 +134,21 @@ def _synthetic_resident_gues(seed, K, grid, batch=10):
 
     def gen_batch(dev, accum, key, i0):
         noise = jax.random.normal(key, (b, NV3D, nz, ny, nx), jnp.float32)
-        for ax in (-1, -2):           # 1-2-1 smoothing, 2 passes
+        for s_ in smooth_strides:     # 1-2-1 smoothing, 2 passes/stride
+            for ax in (-1, -2):
+                for _ in range(2):
+                    noise = 0.5 * noise + 0.25 * (
+                        jnp.roll(noise, s_, ax) + jnp.roll(noise, -s_, ax))
+        if smooth_strides != (1,):
+            # vertical coherence (sondes sample columns; vertically jagged
+            # perturbations destabilize the analysis states)
             for _ in range(2):
                 noise = 0.5 * noise + 0.25 * (
-                    jnp.roll(noise, 1, ax) + jnp.roll(noise, -1, ax))
+                    jnp.roll(noise, 1, -3) + jnp.roll(noise, -1, -3))
+            # renormalize toward the nominal amplitude, with a floor so
+            # near-uniform fields are not inflated into giant modes
+            std = jnp.std(noise, axis=(-1, -2), keepdims=True)
+            noise = noise / jnp.maximum(std, 0.5)
         members = prof_d[None] + amp_d[None] * noise
         # positive moisture floor (as the host generator)
         q = jnp.abs(members[:, IA_Q0]) + 1e-3
@@ -895,5 +915,140 @@ if __name__ == "__main__":
           "18km_resident": bench_18km_analysis_resident,
           "radar_cycle": bench_radar_cycle,
           "18km_cycle": bench_18km_cycle,
-          "18km_fullwindow": bench_18km_cycle_resident}[which]
+          "18km_fullwindow": bench_18km_cycle_resident,
+          "osse_impact": bench_osse_impact}[which]
     print(json.dumps(fn()))
+
+
+def bench_osse_impact(config="configs/18km_japan.toml", members=50,
+                      n_cycles=4, steps_per_cycle=60, spinup_steps=60,
+                      seed=0, member_batch=2, tile_rows=12,
+                      n_sonde=400, n_ps=800, overrides=None,
+                      infl_mul=None, relax_alpha=None,
+                      obs_err_scale=1.0):
+    """Multi-cycle large-shape OSSE with a no-DA control (the de-facto
+    verification layer of the reference, common_mpi_scale.f90:1481-1633):
+    a spun-up ensemble cycles forecast+analysis against obs drawn from an
+    independently-drawn truth, while an identical control ensemble only
+    forecasts. Reports the error-vs-cycle curve (domain T RMSE of the
+    ensemble mean vs truth, gues/anal/control) + spread — the
+    assimilation-impact evidence a single-cycle O-B/O-A cannot give.
+
+    Defaults target a 240x180x36 coarsened-18-km shape (pass overrides);
+    everything runs on the device-resident executor with the production
+    composition."""
+    import jax
+    import jax.numpy as jnp
+    from scale_letkf_tpu.da.resident import ResidentCycle
+    from scale_letkf_tpu.da.bigcycle import _log
+    from scale_letkf_tpu.state import IA_T
+
+    if overrides is None:
+        overrides = {"nx": 240, "ny": 180, "nz": 36,
+                     "dx": 36000.0, "dy": 36000.0}
+    cfg, grid, dycfg, dom = _load_cfg(config, overrides)
+    cfg.ensemble.member = members
+    cfg.letkf.level_batch = 1
+    cfg.obsope.slot_end = cfg.obsope.slot_start      # 3-D cycles
+    if infl_mul is not None:
+        cfg.letkf.infl_mul = infl_mul
+    if relax_alpha is not None:
+        cfg.letkf.relax_alpha = relax_alpha
+    K = members
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+
+    theta, rho1d, p1d, qv = _host_profiles(grid, dom)
+    from scale_letkf_tpu.constants import RD, CPDRY, CVDRY, PRE00
+    rho_ref = rho1d.reshape(nz, 1, 1)
+    p_ref = (PRE00 * (rho1d * theta * RD / PRE00) ** (CPDRY / CVDRY)
+             ).astype(np.float32).reshape(nz, 1, 1)
+    driver = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref, p_ref,
+                                   production=True)
+
+    obs = _synthetic_conv_network(cfg, grid, rng, n_sonde=n_sonde,
+                                  n_ps=n_ps)
+    obs.err = obs.err * obs_err_scale
+
+    strides = (1, 2, 4, 8)
+    ens = _synthetic_resident_gues(seed, K, grid, smooth_strides=strides)
+    ctrl = _synthetic_resident_gues(seed, K, grid,
+                                    smooth_strides=strides)
+    # truth: INDEPENDENT draw (the OSSE truth-draw rule) carrying a
+    # persistent +1 K large-scale anomaly maintained by ITS OWN boundary
+    # forcing — unmodeled forcing the DA system must keep learning from
+    # the obs while the free-running control drifts away. (A plain
+    # perfect-model twin shows no impact here: the idealized large-scale
+    # state has no chaotic error growth, so control error never grows.)
+    truth = _synthetic_resident_gues(seed + 101, 1, grid, t_offset=1.0,
+                                     smooth_strides=strides)
+    driver_t = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref,
+                                     p_ref, production=True)
+    from scale_letkf_tpu.model.boundary import BoundaryData
+    bt = driver_t.bdy
+    warm0 = bt.state0._replace(
+        rhot=bt.state0.rhot * np.float32(1.0 + 1.0 / 285.0))
+    driver_t.bdy = BoundaryData(state0=warm0, state1=warm0,
+                                t0=bt.t0, t1=bt.t1)
+    rc = ResidentCycle(driver, member_batch=member_batch,
+                       tile_rows=tile_rows, verbose=True)
+    rc_c = ResidentCycle(driver, member_batch=member_batch,
+                         tile_rows=tile_rows)
+    rc_t = ResidentCycle(driver_t, member_batch=1, tile_rows=tile_rows)
+
+    @jax.jit
+    def t_rmse(mean_a, ref_t, dev_t):
+        tr = ref_t[IA_T] + dev_t[0, IA_T].astype(jnp.float32)
+        return jnp.sqrt(jnp.mean((mean_a[IA_T] - tr) ** 2))
+
+    @jax.jit
+    def t_spread(dev, K_):
+        d = dev[:, IA_T].astype(jnp.float32)
+        d = d - jnp.mean(d, axis=0, keepdims=True)
+        return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=0) / (K_ - 1)))
+
+    curve = {"rmse_gues": [], "rmse_anal": [], "rmse_ctrl": [],
+             "spread_gues": []}
+
+    t_total = time.time()
+    # spin-up (all three systems; H(x) rides along unused)
+    if spinup_steps > 0:
+        rc.forecast_and_hx(ens, spinup_steps, obs)
+        rc_c.forecast_and_hx(ctrl, spinup_steps, obs)
+        rc_t.forecast_and_hx(truth, spinup_steps, obs)
+    for c in range(n_cycles):
+        y_t, qc_t, _ = rc_t.forecast_and_hx(truth, steps_per_cycle, obs)
+        y_t = np.asarray(y_t)[0]
+        good = qc_t == 0
+        # obs positions fixed; values refreshed in place (stable jit keys)
+        obs.dat[:] = np.where(
+            good, y_t + rng.standard_normal(obs.nobs) * obs.err, obs.dat)
+
+        ensval, qc_w, _ = rc.forecast_and_hx(ens, steps_per_cycle, obs)
+        curve["rmse_gues"].append(float(t_rmse(ens.mean, truth.ref,
+                                               truth.dev)))
+        curve["spread_gues"].append(float(t_spread(ens.dev, K)))
+        rc.analysis(ens, obs, ensval, np.where(good, qc_w, 99))
+        curve["rmse_anal"].append(float(t_rmse(ens.mean, truth.ref,
+                                               truth.dev)))
+
+        rc_c.forecast_and_hx(ctrl, steps_per_cycle, obs)
+        curve["rmse_ctrl"].append(float(t_rmse(ctrl.mean, truth.ref,
+                                               truth.dev)))
+        _log(f"osse cycle {c}: gues={curve['rmse_gues'][-1]:.4f} "
+             f"anal={curve['rmse_anal'][-1]:.4f} "
+             f"ctrl={curve['rmse_ctrl'][-1]:.4f} "
+             f"sprd={curve['spread_gues'][-1]:.4f}")
+
+    return {
+        "config": config, "grid": f"{nx}x{ny}x{nz}", "members": K,
+        "executor": "resident",
+        "composition": "si+stretch+terrain+physics_suite+davies_bdy",
+        "n_cycles": n_cycles, "steps_per_cycle": steps_per_cycle,
+        "spinup_steps": spinup_steps,
+        "nobs": int(obs.nobs), "nobs_good": int(good.sum()),
+        "infl_mul": cfg.letkf.infl_mul,
+        "relax_alpha": cfg.letkf.relax_alpha,
+        "total_s": round(time.time() - t_total, 1),
+        **{k: [round(v, 4) for v in vs] for k, vs in curve.items()},
+    }

@@ -293,7 +293,11 @@ class ResidentCycle:
         accum = jnp.zeros_like(ens.mean)
         ys = []
         qc_worst = np.zeros(obs.nobs, np.int32)
-        mean0 = ens.mean
+        # members are ref + dev by the storage invariant — ref equals mean
+        # right after an analysis/load, but NOT after a forecast-only
+        # cycle (control/truth runs): using ens.mean here re-added the
+        # mean drift to every member each cycle
+        mean0 = ens.ref
         tsfc_buf = (ens.tsfc if ens.tsfc is not None
                     else jnp.zeros((1, 1, 1), jnp.float32))
         bdy_full = d._bdy_args()

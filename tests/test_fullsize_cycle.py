@@ -35,3 +35,27 @@ def test_radar_cycle_coarse():
     assert out["steps_run"] == 15          # the FULL 30-s window at dt=2
     assert out["nobs"] > 100
     assert np.isfinite(out["total_s"])
+
+
+def test_osse_impact_coarsened():
+    """Multi-cycle OSSE with a no-DA control (coarsened shape of the
+    bench_osse_impact experiment): by the last cycle the DA system's
+    guess must beat the control, and the analysis must beat the guess
+    on average."""
+    import numpy as np
+    from scale_letkf_tpu.bench_fullsize import bench_osse_impact
+    out = bench_osse_impact(
+        members=16, n_cycles=3, steps_per_cycle=8, spinup_steps=8,
+        member_batch=8, tile_rows=4, n_sonde=40, n_ps=60,
+        overrides={"nx": 32, "ny": 24, "nz": 8, "n_small": 4},
+        infl_mul=1.1, relax_alpha=0.5, obs_err_scale=0.3)
+    g = np.asarray(out["rmse_gues"])
+    a = np.asarray(out["rmse_anal"])
+    c = np.asarray(out["rmse_ctrl"])
+    assert np.isfinite(g).all() and np.isfinite(a).all()
+    # analyses improve on their guesses on average
+    assert a.mean() < g.mean()
+    # the DA system clearly beats the free-running control by the final
+    # cycle (the truth carries unmodeled boundary forcing the control
+    # cannot know about)
+    assert g[-1] < c[-1] * 0.9
