@@ -109,8 +109,20 @@ def _synthetic_resident_gues(seed, K, grid, batch=10, t_offset=0.0,
 
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     cz = np.asarray(grid.cz)
-    t_prof = (300.0 - 0.0065 * cz).astype(np.float32)
-    p_prof = (1.0e5 * np.exp(-GRAV * cz / (RD * 280.0))).astype(np.float32)
+    # HYDROSTATICALLY CONSISTENT base: theta profile + hydrostatic p, then
+    # T = theta*(p/p00)^(R/cp). The earlier ad-hoc pair (T from a lapse
+    # rate, p from an isothermal scale height) was imbalanced enough to
+    # blow up multi-ten-step integrations (w -> 45 m/s within 8 steps at
+    # 36-km dx).
+    from scale_letkf_tpu.model.ideal import (
+        standard_theta_profile, hydrostatic_reference)
+    from scale_letkf_tpu.constants import CPDRY
+    dz0 = float(np.asarray(grid.fz)[1] - np.asarray(grid.fz)[0])
+    theta_p = np.asarray(standard_theta_profile(nz, dz0, cz=cz),
+                         np.float32)
+    _, p_prof = (np.asarray(a, np.float32)
+                 for a in hydrostatic_reference(theta_p, dz0, cz=cz))
+    t_prof = theta_p * (p_prof / 1.0e5) ** (RD / CPDRY)
     prof = np.zeros((NV3D, nz), np.float32)
     prof[IA_T] = t_prof + t_offset
     prof[IA_P] = p_prof
