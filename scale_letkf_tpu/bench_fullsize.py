@@ -986,22 +986,20 @@ def bench_osse_impact(config="configs/18km_japan.toml", members=50,
     ens = _synthetic_resident_gues(seed, K, grid, smooth_strides=strides)
     ctrl = _synthetic_resident_gues(seed, K, grid,
                                     smooth_strides=strides)
-    # truth: INDEPENDENT draw (the OSSE truth-draw rule) carrying a
-    # persistent +1 K large-scale anomaly maintained by ITS OWN boundary
-    # forcing — unmodeled forcing the DA system must keep learning from
-    # the obs while the free-running control drifts away. (A plain
-    # perfect-model twin shows no impact here: the idealized large-scale
-    # state has no chaotic error growth, so control error never grows.)
+    # truth: INDEPENDENT draw (the OSSE truth-draw rule) + UNMODELED
+    # FORCING: the truth's physics runs a stronger solar constant
+    # (mu0 0.5 -> 0.8), a persistent balanced large-scale warming the DA
+    # system must keep learning from the obs while the free-running
+    # control drifts away. (A plain perfect-model twin shows no impact
+    # here: the idealized large-scale state has no chaotic error growth,
+    # so control error never grows. An earlier rhot-scaled warm boundary
+    # target was hydrostatically imbalanced and wrecked the truth run.)
     truth = _synthetic_resident_gues(seed + 101, 1, grid, t_offset=1.0,
                                      smooth_strides=strides)
-    driver_t = _make_fullsize_driver(cfg, grid, dycfg, dom, rho_ref,
+    dom_t = dict(dom)
+    dom_t["physics"] = dict(dom.get("physics", {}), mu0=0.8)
+    driver_t = _make_fullsize_driver(cfg, grid, dycfg, dom_t, rho_ref,
                                      p_ref, production=True)
-    from scale_letkf_tpu.model.boundary import BoundaryData
-    bt = driver_t.bdy
-    warm0 = bt.state0._replace(
-        rhot=bt.state0.rhot * np.float32(1.0 + 1.0 / 285.0))
-    driver_t.bdy = BoundaryData(state0=warm0, state1=warm0,
-                                t0=bt.t0, t1=bt.t1)
     rc = ResidentCycle(driver, member_batch=member_batch,
                        tile_rows=tile_rows, verbose=True)
     rc_c = ResidentCycle(driver, member_batch=member_batch,
