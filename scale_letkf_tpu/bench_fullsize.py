@@ -917,6 +917,95 @@ def bench_18km_cycle_resident(config="configs/18km_japan.toml",
     return out
 
 
+def bench_tendency_fused(nz=48, ny=192, nx=192, reps=30, block_y=8,
+                         seed=0):
+    """Fused whole-tendency Pallas kernel vs the XLA roll path on the
+    radar-config grid (VERDICT-r4 item 8): one full dycore.tendencies
+    call and one complete rk3_step_si step, both backends, plus the
+    minimum-traffic effective bandwidth each achieves.
+
+    Traffic model (LOWER BOUND, per tendencies call): read 11 prognostic
+    fields once + write 11 tendencies once; anything above
+    2*11*field_bytes/t is re-reading XLA does between fusions or halo
+    amplification the Pallas kernel pays ((by+4)/by on its 6 dyn reads)."""
+    import jax
+    import jax.numpy as jnp
+    from scale_letkf_tpu.model.dycore import (
+        DycoreConfig, DycoreState, tendencies, hydrostatic_reference)
+    from scale_letkf_tpu.model.dycore_si import SplitConfig, rk3_step_si
+    from scale_letkf_tpu.state import NQ
+
+    rng = np.random.default_rng(seed)
+    theta = 300.0 + 30.0 * np.linspace(0, 1, nz)
+    rho1d, p1d = hydrostatic_reference(theta, 500.0)
+    rho = rho1d[:, None, None] * (
+        1.0 + 0.01 * rng.standard_normal((nz, ny, nx)))
+    rhot = rho * theta[:, None, None] * (
+        1.0 + 0.01 * rng.standard_normal((nz, ny, nx)))
+    rhow = 0.5 * rng.standard_normal((nz + 1, ny, nx))
+    rhow[0] = rhow[-1] = 0.0
+    f32 = jnp.float32
+    s = DycoreState(
+        rho=jnp.asarray(rho, f32),
+        rhou=jnp.asarray(5.0 * rng.standard_normal((nz, ny, nx)) * rho, f32),
+        rhov=jnp.asarray(5.0 * rng.standard_normal((nz, ny, nx)) * rho, f32),
+        rhow=jnp.asarray(rhow, f32),
+        rhot=jnp.asarray(rhot, f32),
+        rhoq=jnp.asarray(
+            np.abs(1e-3 * rng.standard_normal((NQ, nz, ny, nx))) * rho, f32))
+    rref = jnp.asarray(rho1d[:, None, None], f32)
+    pref = jnp.asarray(p1d[:, None, None], f32)
+    zc = jnp.asarray((np.arange(nz) + 0.5) * 500.0, f32)
+
+    cfg_x = DycoreConfig(dx=1000.0, dy=1000.0, dz=500.0, dt=2.0)
+    cfg_p = DycoreConfig(dx=1000.0, dy=1000.0, dz=500.0, dt=2.0,
+                         advection="pallas_fused")
+    split = SplitConfig(dtau=0.5)
+    fb = 4 * nz * ny * nx                     # one f32 field
+    ideal_bytes = 2 * (10 * fb + 4 * (nz + 1) * ny * nx)  # r+w 11 fields
+
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.tree.map(lambda a: a.block_until_ready(), out)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.tree.map(lambda a: a.block_until_ready(), out)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), out
+
+    res = {"grid": f"{nz}x{ny}x{nx}", "nq": NQ, "block_y": block_y,
+           "ideal_traffic_mb": round(ideal_bytes / 1e6, 1)}
+    t_x, out_x = timed(jax.jit(lambda st: tendencies(st, cfg_x, rref,
+                                                     pref)), s)
+    res["tendencies_xla_us"] = round(t_x * 1e6, 1)
+    res["tendencies_xla_eff_gbps"] = round(ideal_bytes / t_x / 1e9, 1)
+    try:
+        t_p, out_p = timed(jax.jit(lambda st: tendencies(st, cfg_p, rref,
+                                                         pref)), s)
+        rel = max(
+            float(jnp.max(jnp.abs(a - b))
+                  / jnp.maximum(jnp.max(jnp.abs(a)), 1e-30))
+            for a, b in zip(out_x, out_p))
+        res["tendencies_fused_us"] = round(t_p * 1e6, 1)
+        res["tendencies_fused_eff_gbps"] = round(ideal_bytes / t_p / 1e9, 1)
+        res["fused_max_rel_err"] = float(rel)
+        res["fused_speedup"] = round(t_x / t_p, 3)
+    except Exception as e:  # Mosaic compile/VMEM failures stay recorded
+        res["tendencies_fused_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    for name, cfg in (("step_si_xla_ms", cfg_x), ("step_si_fused_ms",
+                                                  cfg_p)):
+        try:
+            t, _ = timed(lambda st: rk3_step_si(st, cfg, split, rref, pref,
+                                                zc, 4), s)
+            res[name] = round(t * 1e3, 3)
+        except Exception as e:
+            res[name] = f"{type(e).__name__}: {e}"[:200]
+    return res
+
+
 if __name__ == "__main__":
     import sys
     import json
@@ -928,6 +1017,7 @@ if __name__ == "__main__":
           "radar_cycle": bench_radar_cycle,
           "18km_cycle": bench_18km_cycle,
           "18km_fullwindow": bench_18km_cycle_resident,
+          "tendency_fused": bench_tendency_fused,
           "osse_impact": bench_osse_impact}[which]
     print(json.dumps(fn()))
 

@@ -59,10 +59,13 @@ class DycoreConfig:
     lateral: str = "periodic"  # 'periodic' (ideal) | 'open' (limited-area:
                                # edge-clamped stencils, signals exit; use
                                # with Davies boundary forcing)
-    advection: str = "xla"     # scalar-advection backend: 'xla' (fused
-                               # rolls — measured fastest on v5e) |
-                               # 'pallas' (ops/pallas_stencil.py fused UD3
-                               # kernel; periodic + uniform dz only)
+    advection: str = "xla"     # tendency backend: 'xla' (fused rolls —
+                               # measured fastest on v5e) | 'pallas'
+                               # (ops/pallas_stencil.py fused per-tracer
+                               # UD3 kernel) | 'pallas_fused'
+                               # (ops/pallas_tendency.py one-pass fused
+                               # WHOLE-tendency kernel); both Pallas
+                               # backends: periodic + uniform dz only
     halo: str = "gspmd"        # multi-chip halo backend: 'gspmd' (sharded
                                # rolls auto-lower to collective-permutes) |
                                # 'explicit' (parallel/halo.py shard_map
@@ -250,6 +253,15 @@ def tendencies(s: DycoreState, cfg: DycoreConfig,
                vg: VGrid | None = None) -> DycoreState:
     """Flux-form tendencies. rho_ref/p_ref: (nz, 1, 1) reference column.
     vg: stretched vertical spacings (None ⇒ uniform cfg.dz)."""
+    if getattr(cfg, "advection", "xla") == "pallas_fused":
+        if vg is not None or _LATERAL[0] != "periodic":
+            raise ValueError(
+                "advection='pallas_fused' supports periodic lateral "
+                "boundaries and uniform vertical spacing only "
+                "(ops/pallas_tendency.py)")
+        from scale_letkf_tpu.ops.pallas_tendency import tendencies_fused
+        return tendencies_fused(s, cfg, rho_ref, p_ref)
+
     dx, dy, dz = cfg.dx, cfg.dy, cfg.dz
     dzc = dz if vg is None else vg.dzc      # cell thickness (centers)
     dzf = dz if vg is None else vg.dzf      # center spacing (interior faces)
