@@ -408,6 +408,23 @@ def main():
             _note(f"full_size {key} FAILED: {_err_str(e)}")
     result["full_size"] = full
 
+    # fused whole-tendency Pallas kernel vs the XLA roll path on the
+    # radar grid (VERDICT-r4 item 8: record both backends' step time +
+    # achieved bandwidth either way)
+    if _remaining() >= 240:
+        try:
+            _alarm(_remaining() - 60)
+            import scale_letkf_tpu.bench_fullsize as bf
+            result["tendency_backends"] = bf.bench_tendency_fused(reps=10)
+            signal.alarm(0)
+            _note("tendency_backends: done")
+        except Exception as e:
+            signal.alarm(0)
+            result["tendency_backends"] = _err_str(e)
+    else:
+        result["tendency_backends"] = (
+            f"skipped(budget: {_remaining():.0f}s left < 240s)")
+
     # make sure the stray CPU headline subprocess is reaped
     cpu_gps = _collect_subprocess(cpu_proc, 60, "headline", result,
                                   "cpu_baseline_error")
