@@ -2,7 +2,7 @@
 (all 720 steps, production composition, 4-D LTIMESLOT slots) on the
 device-resident executor — produces docs/FULLSIZE_18KM_FULLWINDOW_r05.txt.
 
-K=10 members for wall-clock budget: the per-member-step device cost is
+K=4 members for wall-clock budget: the per-member-step device cost is
 batch-size-determined (batch 2, identical to the K=50 configuration) and
 reported as such in the artifact.
 """
@@ -31,7 +31,7 @@ class Tee(io.TextIOBase):
 
 
 with contextlib.redirect_stdout(Tee()):
-    out = bench_18km_cycle_resident(members=10)
+    out = bench_18km_cycle_resident(members=4)
     print("RESULT " + json.dumps(out))
 
 with open("/root/repo/docs/FULLSIZE_18KM_FULLWINDOW_r05.txt", "w") as f:
