@@ -975,15 +975,35 @@ def bench_tendency_fused(nz=48, ny=192, nx=192, reps=30, block_y=8,
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)), out
 
+    # the tunneled device adds O(100 ms) dispatch latency PER CALL, so a
+    # single-application timing is latency- not compute-bound: amortize
+    # by scanning N applications inside one program and subtract the
+    # measured null-call overhead
+    N_CHAIN = 10
+
+    def euler_chain(cfg):
+        def step(st, _):
+            t = tendencies(st, cfg, rref, pref)
+            return DycoreState(*(x + 1e-6 * dx_ for x, dx_ in
+                                 zip(st, t))), None
+        return jax.jit(lambda st: jax.lax.scan(step, st, None,
+                                               length=N_CHAIN)[0])
+
+    t_null, _ = timed(jax.jit(lambda st: st.rho * 1.000001), s)
+
     res = {"grid": f"{nz}x{ny}x{nx}", "nq": NQ, "block_y": block_y,
-           "ideal_traffic_mb": round(ideal_bytes / 1e6, 1)}
-    t_x, out_x = timed(jax.jit(lambda st: tendencies(st, cfg_x, rref,
-                                                     pref)), s)
+           "ideal_traffic_mb": round(ideal_bytes / 1e6, 1),
+           "call_overhead_us": round(t_null * 1e6, 1),
+           "chain_n": N_CHAIN}
+    t_cx, _ = timed(euler_chain(cfg_x), s)
+    t_x = max(t_cx - t_null, 1e-9) / N_CHAIN
     res["tendencies_xla_us"] = round(t_x * 1e6, 1)
     res["tendencies_xla_eff_gbps"] = round(ideal_bytes / t_x / 1e9, 1)
+    out_x = jax.jit(lambda st: tendencies(st, cfg_x, rref, pref))(s)
     try:
-        t_p, out_p = timed(jax.jit(lambda st: tendencies(st, cfg_p, rref,
-                                                         pref)), s)
+        t_cp, _ = timed(euler_chain(cfg_p), s)
+        t_p = max(t_cp - t_null, 1e-9) / N_CHAIN
+        out_p = jax.jit(lambda st: tendencies(st, cfg_p, rref, pref))(s)
         rel = max(
             float(jnp.max(jnp.abs(a - b))
                   / jnp.maximum(jnp.max(jnp.abs(a)), 1e-30))
@@ -995,12 +1015,14 @@ def bench_tendency_fused(nz=48, ny=192, nx=192, reps=30, block_y=8,
     except Exception as e:  # Mosaic compile/VMEM failures stay recorded
         res["tendencies_fused_error"] = f"{type(e).__name__}: {e}"[:300]
 
+    from scale_letkf_tpu.model.dycore_si import integrate_si
     for name, cfg in (("step_si_xla_ms", cfg_x), ("step_si_fused_ms",
                                                   cfg_p)):
         try:
-            t, _ = timed(lambda st: rk3_step_si(st, cfg, split, rref, pref,
-                                                zc, 4), s)
-            res[name] = round(t * 1e3, 3)
+            fn = jax.jit(lambda st, c=cfg: integrate_si(
+                st, c, split, rref, pref, zc, 6, 4))
+            t, _ = timed(fn, s)
+            res[name] = round(max(t - t_null, 1e-9) / 6 * 1e3, 3)
         except Exception as e:
             res[name] = f"{type(e).__name__}: {e}"[:200]
     return res

@@ -12,11 +12,14 @@ output per call, where XLA splits the same graph into many fusions that
 re-read their inputs.
 
 Design (one grid step = one y-slab):
-- inputs stay in HBM (`pltpu.ANY`); each grid step DMAs the slab plus a
-  2-row y-halo into VMEM scratch, with periodic wraparound handled by
-  split copies at the first/last slab (3 statically-shaped cases under
-  `pl.when`) — read amplification (by+4)/by instead of the 3x of the
-  overlapping-block trick;
+- inputs stay in HBM (`pl.ANY`); each grid step DMAs the slab plus an
+  8-row y-halo into VMEM scratch (Mosaic requires sublane-tile-aligned
+  HBM slices on lane-padded memrefs, so the minimal 2-row halo is
+  rounded up to one full sublane tile: read amplification (by+16)/by —
+  a 4-slot ring streaming slabs once each would cut this to ~1x and is
+  the identified next step), with periodic wraparound handled by split
+  copies at the first/last slab (statically-shaped cases under
+  `pl.when`, dead cases omitted at trace time);
 - x stays whole: periodic x shifts are lane rolls (`pltpu.roll`), so no
   x halo is materialized at all;
 - within the slab, y shifts are SUBLANE rolls: the total stencil radius
@@ -51,7 +54,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from scale_letkf_tpu.constants import GRAV
 
-H = 2  # y-halo rows (max composed stencil radius)
+H = 2   # max composed stencil radius (rows of the slab that may be
+        # corrupted by slab-local periodic rolls)
+HD = 8  # DMA halo rows: one full sublane tile, so every HBM slice is
+        # tile-aligned (Mosaic requirement for lane-padded memrefs)
 
 
 def _ud3_z(f, mflux_w):
@@ -71,54 +77,53 @@ def _ud3_z(f, mflux_w):
 def _tendency_kernel(rho_h, rhou_h, rhov_h, rhow_h, rhot_h, pp_h, rref,
                      o_rho, o_rhou, o_rhov, o_rhow, o_rhot,
                      s_rho, s_rhou, s_rhov, s_rhow, s_rhot, s_pp, sem,
-                     *, by, nblk, ny, dx, dy, dz, kdiff4, alpha_h, alpha_z,
-                     interpret):
+                     *, by, nblk, ny, hd, dx, dy, dz, kdiff4, alpha_h,
+                     alpha_z, interpret):
     j = pl.program_id(0)
     r0 = j * by
-    R = by + 2 * H
+    R = by + 2 * hd
     hbm = [rho_h, rhou_h, rhov_h, rhow_h, rhot_h, pp_h]
     scr = [s_rho, s_rhou, s_rhov, s_rhow, s_rhot, s_pp]
 
-    # ---- slab DMA with periodic y wraparound: 3 statically-shaped cases
-    def _issue(pairs):
-        cps = [pltpu.make_async_copy(src, dst, sem.at[i])
-               for i, (src, dst) in enumerate(pairs)]
+    # ---- slab DMA with periodic y wraparound: statically-shaped cases.
+    # hd (the DMA halo) is a multiple of the 8-sublane tile so every HBM
+    # slice offset/length is tile-aligned — Mosaic rejects unaligned
+    # sublane slices of lane-padded HBM memrefs. Unreachable cases are
+    # omitted at TRACE time (pl.when compiles both branches, and an
+    # out-of-bounds pl.ds in a dead branch still fails to compile).
+    def _start_wait(pairs, sems):
+        cps = [pltpu.make_async_copy(src, dst, sm)
+               for (src, dst), sm in zip(pairs, sems)]
         for c in cps:
             c.start()
         for c in cps:
             c.wait()
 
-    @pl.when(jnp.logical_and(j > 0, j < nblk - 1))
-    def _():
-        _issue([(h.at[:, pl.ds(r0 - H, R), :], s)
-                for h, s in zip(hbm, scr)])
+    if nblk > 2:
+        @pl.when(jnp.logical_and(j > 0, j < nblk - 1))
+        def _():
+            _start_wait([(h.at[:, pl.ds(r0 - hd, R), :], s)
+                         for h, s in zip(hbm, scr)],
+                        [sem.at[i] for i in range(len(hbm))])
 
     @pl.when(j == 0)
     def _():
         pairs = []
-        for i, (h, s) in enumerate(zip(hbm, scr)):
-            pairs.append((h.at[:, pl.ds(ny - H, H), :], s.at[:, 0:H, :]))
-            pairs.append((h.at[:, pl.ds(0, by + H), :], s.at[:, H:R, :]))
-        cps = [pltpu.make_async_copy(src, dst, sem.at[i // 2])
-               for i, (src, dst) in enumerate(pairs)]
-        for c in cps:
-            c.start()
-        for c in cps:
-            c.wait()
-
-    @pl.when(jnp.logical_and(j == nblk - 1, nblk > 1))
-    def _():
-        pairs = []
         for h, s in zip(hbm, scr):
-            pairs.append((h.at[:, pl.ds(r0 - H, by + H), :],
-                          s.at[:, 0:by + H, :]))
-            pairs.append((h.at[:, pl.ds(0, H), :], s.at[:, by + H:R, :]))
-        cps = [pltpu.make_async_copy(src, dst, sem.at[i // 2])
-               for i, (src, dst) in enumerate(pairs)]
-        for c in cps:
-            c.start()
-        for c in cps:
-            c.wait()
+            pairs.append((h.at[:, pl.ds(ny - hd, hd), :], s.at[:, 0:hd, :]))
+            pairs.append((h.at[:, pl.ds(0, by + hd), :], s.at[:, hd:R, :]))
+        _start_wait(pairs, [sem.at[i // 2] for i in range(len(pairs))])
+
+    if nblk > 1:
+        @pl.when(j == nblk - 1)
+        def _():
+            pairs = []
+            for h, s in zip(hbm, scr):
+                pairs.append((h.at[:, pl.ds(r0 - hd, by + hd), :],
+                              s.at[:, 0:by + hd, :]))
+                pairs.append((h.at[:, pl.ds(0, hd), :],
+                              s.at[:, by + hd:R, :]))
+            _start_wait(pairs, [sem.at[i // 2] for i in range(len(pairs))])
 
     rho = s_rho[...]
     fx = s_rhou[...]
@@ -240,11 +245,11 @@ def _tendency_kernel(rho_h, rhou_h, rhov_h, rhow_h, rhot_h, pp_h, rref,
     drhow = jnp.concatenate([zeros_f, drhow_int, zeros_f], axis=0)
 
     # ---- write back the valid center rows
-    o_rho[...] = drho[:, H:H + by, :]
-    o_rhou[...] = drhou[:, H:H + by, :]
-    o_rhov[...] = drhov[:, H:H + by, :]
-    o_rhow[...] = drhow[:, H:H + by, :]
-    o_rhot[...] = drhot[:, H:H + by, :]
+    o_rho[...] = drho[:, hd:hd + by, :]
+    o_rhou[...] = drhou[:, hd:hd + by, :]
+    o_rhov[...] = drhov[:, hd:hd + by, :]
+    o_rhow[...] = drhow[:, hd:hd + by, :]
+    o_rhot[...] = drhot[:, hd:hd + by, :]
 
 
 def dyn_tendencies_pallas(rho, rhou, rhov, rhow, rhot, p_pert, rho_ref,
@@ -258,10 +263,10 @@ def dyn_tendencies_pallas(rho, rhou, rhov, rhow, rhot, p_pert, rho_ref,
     by = min(block_y, ny)
     assert ny % by == 0, "ny must be divisible by block_y"
     nblk = ny // by
-    R = by + 2 * H
+    R = by + 2 * HD
     f32 = rho.dtype
 
-    kernel = partial(_tendency_kernel, by=by, nblk=nblk, ny=ny,
+    kernel = partial(_tendency_kernel, by=by, nblk=nblk, ny=ny, hd=HD,
                      dx=dx, dy=dy, dz=dz, kdiff4=kdiff4,
                      alpha_h=alpha_h, alpha_z=alpha_z, interpret=interpret)
     grav_ref = jnp.broadcast_to(jnp.asarray(rho_ref, f32), (nz, 1, 1))
