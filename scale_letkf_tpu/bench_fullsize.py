@@ -917,12 +917,19 @@ def bench_18km_cycle_resident(config="configs/18km_japan.toml",
     return out
 
 
-def bench_tendency_fused(nz=48, ny=192, nx=192, reps=30, block_y=8,
+def bench_tendency_fused(nz=48, ny=192, nx=256, reps=30, block_y=8,
                          seed=0):
-    """Fused whole-tendency Pallas kernel vs the XLA roll path on the
-    radar-config grid (VERDICT-r4 item 8): one full dycore.tendencies
+    """Fused whole-tendency Pallas kernel vs the XLA roll path on a
+    radar-class grid (VERDICT-r4 item 8): one full dycore.tendencies
     call and one complete rk3_step_si step, both backends, plus the
     minimum-traffic effective bandwidth each achieves.
+
+    nx defaults to 256, not the radar config's 192: Mosaic rejects HBM
+    DMA slices whose lane extent is not a 128-multiple (measured:
+    'Slice shape along dimension 2 must be aligned to tiling (128), but
+    is 192'), so the fused kernel requires nx % 128 == 0; the
+    lane-aligned 48x192x256 shape is 33% MORE work than the radar grid
+    and keeps the comparison honest for both backends.
 
     Traffic model (LOWER BOUND, per tendencies call): read 11 prognostic
     fields once + write 11 tendencies once; anything above
@@ -934,6 +941,9 @@ def bench_tendency_fused(nz=48, ny=192, nx=192, reps=30, block_y=8,
         DycoreConfig, DycoreState, tendencies, hydrostatic_reference)
     from scale_letkf_tpu.model.dycore_si import SplitConfig, rk3_step_si
     from scale_letkf_tpu.state import NQ
+
+    import scale_letkf_tpu.ops.pallas_tendency as _pt
+    _pt.BLOCK_Y = block_y     # thread the sweep through the dispatcher
 
     rng = np.random.default_rng(seed)
     theta = 300.0 + 30.0 * np.linspace(0, 1, nz)

@@ -102,7 +102,8 @@ def _tendency_kernel(rho_h, rhou_h, rhov_h, rhow_h, rhot_h, pp_h, rref,
     if nblk > 2:
         @pl.when(jnp.logical_and(j > 0, j < nblk - 1))
         def _():
-            _start_wait([(h.at[:, pl.ds(r0 - hd, R), :], s)
+            lo = pl.multiple_of(r0 - hd, 8)   # by, hd are 8-multiples
+            _start_wait([(h.at[:, pl.ds(lo, R), :], s)
                          for h, s in zip(hbm, scr)],
                         [sem.at[i] for i in range(len(hbm))])
 
@@ -117,9 +118,10 @@ def _tendency_kernel(rho_h, rhou_h, rhov_h, rhow_h, rhot_h, pp_h, rref,
     if nblk > 1:
         @pl.when(j == nblk - 1)
         def _():
+            lo = pl.multiple_of(r0 - hd, 8)
             pairs = []
             for h, s in zip(hbm, scr):
-                pairs.append((h.at[:, pl.ds(r0 - hd, by + hd), :],
+                pairs.append((h.at[:, pl.ds(lo, by + hd), :],
                               s.at[:, 0:by + hd, :]))
                 pairs.append((h.at[:, pl.ds(0, hd), :],
                               s.at[:, by + hd:R, :]))
@@ -262,6 +264,8 @@ def dyn_tendencies_pallas(rho, rhou, rhov, rhow, rhot, p_pert, rho_ref,
     nz, ny, nx = rho.shape
     by = min(block_y, ny)
     assert ny % by == 0, "ny must be divisible by block_y"
+    if not interpret:
+        assert by % 8 == 0, "block_y must be a sublane-tile multiple on TPU"
     nblk = ny // by
     R = by + 2 * HD
     f32 = rho.dtype
@@ -296,11 +300,20 @@ def dyn_tendencies_pallas(rho, rhou, rhov, rhow, rhot, p_pert, rho_ref,
             pltpu.VMEM((nz, R, nx), f32),
             pltpu.SemaphoreType.DMA((6,)),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # 6 haloed input slabs + 5 double-buffered output blocks +
+            # live stencil temporaries exceed the default 16M scoped
+            # window at by=8; v5e has headroom above it
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(rho, rhou, rhov, rhow, rhot, p_pert, grav_ref)
 
 
-def tendencies_fused(s, cfg, rho_ref, p_ref, *, block_y: int = 8,
+BLOCK_Y = 8   # default y-slab rows for the fused kernel (module-level so
+              # benchmarks can sweep it through the config dispatcher)
+
+
+def tendencies_fused(s, cfg, rho_ref, p_ref, *, block_y: int | None = None,
                      interpret: bool | None = None):
     """Drop-in for dycore.tendencies (periodic, uniform dz, no terrain):
     dynamics fields through the fused Pallas whole-tendency kernel,
@@ -308,6 +321,8 @@ def tendencies_fused(s, cfg, rho_ref, p_ref, *, block_y: int = 8,
     for per-tracer UD3)."""
     from scale_letkf_tpu.model import dycore as dc
 
+    if block_y is None:
+        block_y = BLOCK_Y
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     cfgd = cfg
